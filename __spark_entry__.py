@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (PageRank over the lineitem-derived
+link graph at sf0.001). ``queries()`` / ``oracle_sql()`` expose the engine's
+operator surface with exactly-equivalent DuckDB SQL (see
+linkgraph/queries.py for the parity design rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: link graph from lineitem at sf0.001 -> renumbered PageRank
+    -> top 20 vertices (exercises renumber + unrenumber + dangling mass)."""
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.queries import link_edges
+    from linkgraph.structure.graph import Graph
+
+    edges = link_edges(spark, "/root/testdata/sf0.001")
+    g = Graph.from_edgelist(edges, directed=True, renumber=True)
+    pr = pagerank(g, alpha=0.85, tol=1e-6, max_iter=100)
+    return (
+        pr.orderBy(F.desc("pagerank"), F.asc("vertex"))
+        .limit(20)
+        .select("vertex", F.round(F.col("pagerank") * 1e7).cast("long").alias("pr_e7"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from linkgraph.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from linkgraph.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pagerank_gteps": ..., ...}
+
+The PageRank numbers double as the BASELINE.json throughput metric:
+GTEPS = E * iterations / elapsed / 1e9 (edges traversed per second), per
+BASELINE.md §2/§3. The RMAT workload mirrors the reference e2e benchmark
+generator (benchmarks/python_e2e/cugraph_funcs.py:20-58: a=.1 b=.2 c=.3,
+edgefactor 16, seed 42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from linkgraph.algorithms.lpa import label_propagation  # noqa: E402
+from linkgraph.algorithms.pagerank import pagerank  # noqa: E402
+from linkgraph.algorithms.triangles import triangle_count  # noqa: E402
+from linkgraph.algorithms.wcc import weakly_connected_components  # noqa: E402
+from linkgraph.corpus import generate_pages  # noqa: E402
+from linkgraph.extract import extract_text, pages_to_edges  # noqa: E402
+from linkgraph.generators import rmat_edges  # noqa: E402
+from linkgraph.queries import QUERIES, link_edges, supply_edges  # noqa: E402
+from linkgraph.session import get_spark  # noqa: E402
+from linkgraph.structure.graph import Graph  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "17"))
+RMAT_ITERS = int(os.environ.get("BENCH_RMAT_ITERS", "5"))
+CORPUS_PAGES = int(os.environ.get("BENCH_CORPUS_PAGES", "5000"))
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="linkgraph-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- corpus pipeline: generate -> extract (parity filter) -> edges ---
+    def corpus_pipeline():
+        pages = generate_pages(spark, CORPUS_PAGES, seed=42)
+        ok = pages.filter(extract_text("html") == F.col("text"))
+        return pages_to_edges(ok).count()
+
+    extras["corpus_edges"] = timed("corpus_extract", corpus_pipeline)
+
+    # --- testdata link graph (same derivation the correctness gate uses) ---
+    edges = link_edges(spark, SF_DIR).cache()
+    E = edges.count()
+    extras["link_graph_edges"] = E
+    g_dir = Graph.from_edgelist(edges, directed=True, renumber=False)
+    g_und = Graph.from_edgelist(edges, directed=False, renumber=False)
+
+    timed("pagerank_15it", lambda: pagerank(g_dir, fixed_iterations=15).count())
+    extras["pagerank_gteps_linkgraph"] = round(
+        E * 15 / timings["pagerank_15it"] / 1e9, 6
+    )
+    timed("wcc", lambda: weakly_connected_components(g_und).count())
+    timed("lpa_4it", lambda: label_propagation(g_und, fixed_iterations=4).count())
+    g_sup = Graph.from_edgelist(supply_edges(spark, SF_DIR), directed=False, renumber=False)
+    timed("triangles", lambda: triangle_count(g_sup))
+
+    # --- RMAT throughput workload (reference benchmark shape) ---
+    redges = rmat_edges(spark, RMAT_SCALE, 16).cache()
+    RE = redges.count()
+    extras["rmat_edges"] = RE
+    g_rmat = Graph.from_edgelist(redges, directed=True, renumber=False)
+    timed(
+        f"pagerank_rmat_s{RMAT_SCALE}_{RMAT_ITERS}it",
+        lambda: pagerank(g_rmat, fixed_iterations=RMAT_ITERS).count(),
+    )
+    extras["pagerank_gteps_rmat"] = round(
+        RE * RMAT_ITERS / timings[f"pagerank_rmat_s{RMAT_SCALE}_{RMAT_ITERS}it"] / 1e9, 6
+    )
+
+    # --- doc/embedding ops from the query surface ---
+    for name in ("doc_shingle_dups", "emb_topk", "events_hourly"):
+        timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "linkgraph_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

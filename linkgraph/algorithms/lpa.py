@@ -29,6 +29,7 @@ from pyspark.storagelevel import StorageLevel
 from ..checkpoint import CheckpointManager
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def label_propagation(
@@ -42,7 +43,7 @@ def label_propagation(
     """Returns DF[vertex, labels]; community labels are vertex ids
     (deterministic); isolated vertices keep their own label."""
     spark = graph.edges.sparkSession
-    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = graph.edges.select("src", "dst")
     if graph.directed:
         edges = symmetrize_edges(edges, weight=None, symmetrize=True)
@@ -66,38 +67,44 @@ def label_propagation(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    while it < n_iter:
-        it += 1
-        counts = (
-            edges.join(labels.select(F.col("vertex").alias("src"), "labels"), on="src")
-            .groupBy("dst", "labels")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # argmax by count, tie -> min label: max(struct(cnt, -label))
-        mode_l = (
-            counts.groupBy("dst")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))).alias("t"))
-            .select(F.col("dst").alias("vertex"), (-F.col("t.nl")).alias("new_l"))
-        )
-        new = (
-            labels.join(mode_l, on="vertex", how="left")
-            .select(
-                "vertex",
-                F.coalesce(F.col("new_l"), F.col("labels")).alias("labels"),
-                (F.coalesce(F.col("new_l"), F.col("labels")) != F.col("labels")).alias(
-                    "changed"
-                ),
+    with no_aqe(spark):
+        while it < n_iter:
+            it += 1
+            l_src = labels.select(F.col("vertex").alias("src"), "labels")
+            l_src = F.broadcast(l_src) if bcast else l_src.repartition(nparts, "src")
+            counts = (
+                edges.join(l_src, on="src")
+                .groupBy("dst", "labels")
+                .agg(F.count("*").alias("cnt"))
             )
-            .localCheckpoint(eager=False)  # truncate superstep lineage
-        )
-        n_changed = new.filter(F.col("changed")).count()
-        labels = new.select("vertex", "labels")
-        if ckpt is not None and it % checkpoint_every == 0:
-            labels = ckpt.save(labels, it, {"changed": n_changed})
-        if fixed_iterations is None and n_changed == 0:
-            break
+            # argmax by count, tie -> min label: max(struct(cnt, -label))
+            mode_l = (
+                counts.groupBy("dst")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))).alias("t"))
+                .select(F.col("dst").alias("vertex"), (-F.col("t.nl")).alias("new_l"))
+            )
+            if bcast:
+                mode_l = F.broadcast(mode_l)
+            new = (
+                labels.join(mode_l, on="vertex", how="left")
+                .select(
+                    "vertex",
+                    F.coalesce(F.col("new_l"), F.col("labels")).alias("labels"),
+                    (F.coalesce(F.col("new_l"), F.col("labels")) != F.col("labels")).alias(
+                        "changed"
+                    ),
+                )
+                .localCheckpoint(eager=False)  # truncate superstep lineage
+            )
+            n_changed = new.filter(F.col("changed")).count()
+            labels = new.select("vertex", "labels")
+            if ckpt is not None and it % checkpoint_every == 0:
+                labels = ckpt.save(labels, it, {"changed": n_changed})
+            if fixed_iterations is None and n_changed == 0:
+                break
     out = labels.select("vertex", "labels")
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")

@@ -17,25 +17,37 @@ SURVEY.md §2.5):
   does NOT scale tol by V despite the doc comment, SURVEY §2.5);
 - exceeding max_iter without converging is a hard failure (:274-275).
 
-Scale design:
-- the edge⋈outw coefficient (weight/out_weight) is iteration-invariant: it
-  is computed once, hash-partitioned by ``src`` and persisted, so the only
-  per-iteration shuffles are the V-row rank table (by src for the join, by
-  dst after the message agg) — never a re-shuffle of the E-row edge table;
+Scale design (measured on RMAT scale-17, local[32]):
+- the edge⋈outw coefficient (weight/out_weight) is iteration-invariant:
+  computed once, hash-partitioned by ``src``, persisted — the E-row edge
+  table never moves during iterations;
+- per-vertex state (vertex, is_dangling, p?, r) lives in ONE DataFrame; the
+  superstep carries r_old through so the L1 delta and the next dangling mass
+  come from the same single action per iteration (the reference's
+  transform_reduce_v pair, fused) — no extra stats join;
+- when V ≤ BROADCAST_STATE_MAX_V the V-row state is hint-broadcast into the
+  edge join and the V-row message table broadcast back: one shuffle per
+  superstep (the map-side-combined message reduce). Above the threshold the
+  state is hash-repartitioned to the edge table's src-partitioning (the
+  10^12-vertex path). Explicit hints matter: localCheckpoint erases
+  partitioning/statistics and Spark otherwise re-broadcasts the much larger
+  EDGE table every iteration (observed: 65 MB/superstep);
 - groupBy(dst) hub skew is bounded by map-side partial aggregation: a hub
   vertex receives at most one partial sum per map partition regardless of
-  in-degree (the Spark analogue of cuGraph's per-degree-class kernels +
-  2D partitioning, graph_view.hpp:42-65). An explicit salt column is
-  therefore unnecessary for sum-reduction supersteps; AQE skew-join handles
-  the rank-join side;
-- exactly ONE Spark action per iteration: the L1 delta and the NEXT
-  iteration's dangling mass are computed in the same aggregate (the
-  reference's transform_reduce_v pair, fused);
+  in-degree (the Spark analogue of cuGraph's degree-segment kernels + 2D
+  partitioning, graph_view.hpp:42-65), so no salt column is needed for
+  sum-reduce supersteps;
+- each iteration ends in a lazy localCheckpoint — plan depth stays O(1)
+  (a growing lineage chain costs quadratic analysis time and OOMs the
+  driver) — and AQE is disabled inside the loop (stage re-planning adds
+  ~35% latency to small fixed-shape supersteps; measured 1.41 -> 1.04 s/it);
 - every ``checkpoint_every`` iterations the rank table is committed to the
-  checkpoint directory (resume + lineage truncation).
+  checkpoint directory (durable resume point + metrics).
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,10 +63,36 @@ class PageRankConvergenceError(RuntimeError):
     (pagerank_impl.cuh:274-275)."""
 
 
+BROADCAST_STATE_MAX_V = 2_000_000
+
+
+@contextmanager
+def no_aqe(spark):
+    """Disable adaptive execution for fixed-shape iterative supersteps."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def pick_partitions(spark, n_edges: int, num_partitions: int | None = None) -> int:
+    """Target ~100k edge rows per partition, capped by the session's shuffle
+    partitions. Iterative supersteps pay fixed per-stage scheduling cost per
+    partition, so small graphs on many partitions are pure overhead (measured
+    3.2 s/superstep for a 451k-edge graph at 32 partitions vs sub-second at
+    4); on a real cluster E/100k exceeds the conf cap, which then wins."""
+    if num_partitions:
+        return num_partitions
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, (n_edges + 99_999) // 100_000))
+
+
 def _prepare(graph: Graph, num_partitions: int | None):
     """Iteration-invariant state: vertex table + coefficient edge table."""
     spark = graph.edges.sparkSession
-    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     outw = graph.out_weight_sums()
     vtab = (
         graph.vertices()
@@ -80,20 +118,22 @@ def _prepare(graph: Graph, num_partitions: int | None):
     return vtab, ecoef, nparts
 
 
-def _superstep(vtab, ecoef, ranks, alpha, const_expr, nparts) -> DataFrame:
+def _superstep(ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast) -> DataFrame:
+    """ranks(vertex, is_dangling, [p,] r) -> new(…, r, r_old)."""
+    r_src = ranks.select(F.col("vertex").alias("src"), "r")
+    r_src = F.broadcast(r_src) if bcast else r_src.repartition(nparts, "src")
     msgs = (
-        ecoef.join(ranks.select(F.col("vertex").alias("src"), "r"), on="src")
+        ecoef.join(r_src, on="src")
         .groupBy("dst")
         .agg(F.sum(F.col("coef") * F.col("r")).alias("msg"))
         .withColumnRenamed("dst", "vertex")
     )
-    return (
-        vtab.join(msgs, on="vertex", how="left")
-        .select(
-            "vertex",
-            "is_dangling",
-            (const_expr + F.lit(alpha) * F.coalesce(F.col("msg"), F.lit(0.0))).alias("r"),
-        )
+    if bcast:
+        msgs = F.broadcast(msgs)
+    return ranks.join(msgs, on="vertex", how="left").select(
+        *state_cols,
+        (const_expr + F.lit(alpha) * F.coalesce(F.col("msg"), F.lit(0.0))).alias("r"),
+        F.col("r").alias("r_old"),
     )
 
 
@@ -131,6 +171,21 @@ def pagerank(
             ).select("vertex", val_col)
         return df.select(F.col("vertex").cast("long").alias("vertex"), val_col)
 
+    # --- personalization (pagerank_impl.cuh:173-185, :244-261) ---
+    pers = None
+    state_cols = ["vertex", "is_dangling"]
+    if personalization is not None:
+        p = to_internal(personalization, "values")
+        psum = p.agg(F.sum("values")).collect()[0][0]
+        pers = p.select("vertex", (F.col("values") / F.lit(float(psum))).alias("p"))
+        vtab = vtab.join(pers, on="vertex", how="left").select(
+            "vertex",
+            "out_weight",
+            "is_dangling",
+            F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        state_cols.append("p")
+
     # --- init ranks (pagerank_impl.cuh:154-171) ---
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_iter, ranks, dangling_sum = 0, None, None
@@ -139,75 +194,61 @@ def pagerank(
         if state is not None:
             start_iter, ranks_df, metrics = state
             dangling_sum = metrics["dangling_sum"]
-            ranks = ranks_df.repartition(nparts, "vertex").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            ranks = ranks_df
+            if pers is not None:  # re-attach p (not checkpointed)
+                ranks = ranks.drop("p").join(
+                    vtab.select("vertex", "p"), on="vertex", how="left"
+                )
+            ranks = ranks.select(*state_cols, "r").localCheckpoint(eager=False)
     if ranks is None:
         if nstart is not None:
             ns = to_internal(nstart, "values")
             s = ns.agg(F.sum("values")).collect()[0][0]
             init = vtab.join(ns, on="vertex", how="left").select(
-                "vertex",
-                "is_dangling",
+                *state_cols,
                 (F.coalesce(F.col("values"), F.lit(0.0)) / F.lit(float(s))).alias("r"),
             )
         else:
-            init = vtab.select("vertex", "is_dangling", F.lit(1.0 / V).alias("r"))
+            init = vtab.select(*state_cols, F.lit(1.0 / V).alias("r"))
         ranks = init.localCheckpoint(eager=False)
-        dangling_sum = ranks.filter("is_dangling").agg(F.sum("r")).collect()[0][0] or 0.0
-
-    # --- personalization (pagerank_impl.cuh:173-185, :244-261) ---
-    pers = None
-    if personalization is not None:
-        p = to_internal(personalization, "values")
-        psum = p.agg(F.sum("values")).collect()[0][0]
-        pers = p.select(
-            "vertex", (F.col("values") / F.lit(float(psum))).alias("p")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        vtab_iter = vtab.join(pers, on="vertex", how="left").select(
-            "vertex", "is_dangling", F.coalesce(F.col("p"), F.lit(0.0)).alias("p")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        vtab_iter = vtab
+        dangling_sum = (
+            ranks.filter("is_dangling").agg(F.sum("r")).collect()[0][0] or 0.0
+        )
 
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     converged = fixed_iterations is not None  # fixed mode never "fails"
+    bcast = V <= BROADCAST_STATE_MAX_V
     it = start_iter
-    while it < n_iter:
-        it += 1
-        K = dangling_sum * alpha + (1.0 - alpha)
-        if pers is not None:
-            const_expr = F.lit(K) * F.col("p")
-        else:
-            const_expr = F.lit(K / V)
-        # localCheckpoint truncates the per-iteration lineage chain (plan size
-        # would otherwise grow linearly with supersteps — driver OOM); lazy so
-        # the stats action below materializes it in the same job.
-        new = _superstep(vtab_iter, ecoef, ranks, alpha, const_expr, nparts).localCheckpoint(
-            eager=False
-        )
-        # one action: L1 delta + next dangling mass (fused transform_reduce_v)
-        stats = (
-            new.join(ranks.select("vertex", F.col("r").alias("r_old")), on="vertex")
-            .agg(
+    delta = None
+    with no_aqe(spark):
+        while it < n_iter:
+            it += 1
+            K = dangling_sum * alpha + (1.0 - alpha)
+            const_expr = F.lit(K) * F.col("p") if pers is not None else F.lit(K / V)
+            new = _superstep(
+                ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast
+            ).localCheckpoint(eager=False)
+            # ONE action per superstep: L1 delta + next dangling mass
+            stats = new.agg(
                 F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("delta"),
                 F.sum(F.when(F.col("is_dangling"), F.col("r")).otherwise(0.0)).alias(
                     "dang"
                 ),
-            )
-            .collect()[0]
-        )
-        delta, dangling_sum = float(stats["delta"]), float(stats["dang"] or 0.0)
-        ranks = new
-        if ckpt is not None and (it % checkpoint_every == 0):
-            ranks = ckpt.save(
-                ranks.select("vertex", "is_dangling", "r"),
-                it,
-                {"delta": delta, "dangling_sum": dangling_sum},
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-        if fixed_iterations is None and delta < tol:
-            converged = True
-            break
+            ).collect()[0]
+            delta, dangling_sum = float(stats["delta"]), float(stats["dang"] or 0.0)
+            ranks = new
+            if ckpt is not None and (it % checkpoint_every == 0):
+                ranks = ckpt.save(
+                    ranks.select("vertex", "is_dangling", "r"),
+                    it,
+                    {"delta": delta, "dangling_sum": dangling_sum},
+                )
+                if pers is not None:
+                    ranks = ranks.join(vtab.select("vertex", "p"), on="vertex")
+                ranks = ranks.select(*state_cols, "r").localCheckpoint(eager=False)
+            if fixed_iterations is None and delta < tol:
+                converged = True
+                break
     if not converged and fail_on_nonconvergence:
         raise PageRankConvergenceError(
             f"PageRank failed to converge in {n_iter} iterations (L1 delta={delta})"

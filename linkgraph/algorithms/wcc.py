@@ -32,6 +32,7 @@ from pyspark.storagelevel import StorageLevel
 from ..checkpoint import CheckpointManager
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def weakly_connected_components(
@@ -46,7 +47,7 @@ def weakly_connected_components(
     (canonical). Column name `labels` matches the reference output
     (components/connectivity.py:101-195)."""
     spark = graph.edges.sparkSession
-    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = graph.edges.select("src", "dst")
     if graph.directed:
         edges = symmetrize_edges(edges, weight=None, symmetrize=True)
@@ -71,37 +72,41 @@ def weakly_connected_components(
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # frontier = vertices whose label changed last round (all, initially)
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
     frontier = labels
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    while it < n_iter:
-        it += 1
-        msgs = (
-            edges.join(
-                frontier.select(F.col("vertex").alias("src"), "labels"), on="src"
+    with no_aqe(spark):
+        while it < n_iter:
+            it += 1
+            f_src = frontier.select(F.col("vertex").alias("src"), "labels")
+            f_src = F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
+            msgs = (
+                edges.join(f_src, on="src")
+                .groupBy("dst")
+                .agg(F.min("labels").alias("m"))
+                .withColumnRenamed("dst", "vertex")
             )
-            .groupBy("dst")
-            .agg(F.min("labels").alias("m"))
-            .withColumnRenamed("dst", "vertex")
-        )
-        new = (
-            labels.join(msgs, on="vertex", how="left")
-            .select(
-                "vertex",
-                F.least(F.col("labels"), F.coalesce(F.col("m"), F.col("labels"))).alias(
-                    "labels"
-                ),
-                (F.col("m") < F.col("labels")).alias("changed"),
+            if bcast:
+                msgs = F.broadcast(msgs)
+            new = (
+                labels.join(msgs, on="vertex", how="left")
+                .select(
+                    "vertex",
+                    F.least(F.col("labels"), F.coalesce(F.col("m"), F.col("labels"))).alias(
+                        "labels"
+                    ),
+                    (F.col("m") < F.col("labels")).alias("changed"),
+                )
+                .localCheckpoint(eager=False)  # truncate superstep lineage
             )
-            .localCheckpoint(eager=False)  # truncate superstep lineage
-        )
-        n_changed = new.filter(F.col("changed")).count()
-        labels = new.select("vertex", "labels")
-        frontier = new.filter(F.col("changed")).select("vertex", "labels")
-        if ckpt is not None and it % checkpoint_every == 0:
-            labels = ckpt.save(labels, it, {"changed": n_changed})
-        if fixed_iterations is None and n_changed == 0:
-            break
+            n_changed = new.filter(F.col("changed")).count()
+            labels = new.select("vertex", "labels")
+            frontier = new.filter(F.col("changed")).select("vertex", "labels")
+            if ckpt is not None and it % checkpoint_every == 0:
+                labels = ckpt.save(labels, it, {"changed": n_changed})
+            if fixed_iterations is None and n_changed == 0:
+                break
     out = labels.select("vertex", "labels")
     if graph.renumbered:
         # labels are internal min-vids; map BOTH columns back to external ids

@@ -1,0 +1,499 @@
+"""Driver-contract query surface: named queries + exactly-equivalent DuckDB SQL.
+
+Each entry in QUERIES runs the engine on the driver's parquet tables at
+``sf_dir``; ORACLES[name] is ANSI-ish SQL (DuckDB dialect, MATERIALIZED CTEs
+for the unrolled iterative oracles) that computes the same result. Design
+rules that make the differential exact:
+
+- graph queries derive integer edge tables from ``lineitem`` arithmetically
+  (``l_orderkey % 1000 -> 1000 + l_partkey % 1000`` etc.) — deterministic and
+  identical in both engines, no hashing;
+- graph queries run with renumber=False so label values / tie-breaks are the
+  external ids in both engines (the renumber map itself is checked by its own
+  query); the vertex universe is the reference's max+1 rule
+  (simpleGraph.py:497-499) in both;
+- every float output is emitted as a scaled BIGINT (e.g. round(pr*1e7)) in
+  BOTH engines — cross-engine float sums agree to ~1e-13, so scaled-int
+  equality is robust while still checking ~7 significant digits;
+- iterative algorithms are compared at a FIXED superstep count (PageRank 15,
+  LPA 4) or at convergence with a generous unrolled bound (WCC: 24 rounds ≫
+  graph diameter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .algorithms.lpa import label_propagation
+from .algorithms.pagerank import pagerank
+from .algorithms.triangles import triangle_count
+from .algorithms.wcc import weakly_connected_components
+from .structure.graph import Graph
+from .structure.renumber import build_number_map
+
+ALPHA = 0.85
+PR_ITERS = 15
+WCC_ORACLE_ROUNDS = 24
+LPA_ITERS = 4
+
+# ---------------------------------------------------------------------------
+# shared edge derivations (MUST stay in sync with the SQL fragments below)
+# ---------------------------------------------------------------------------
+
+LINK_EDGES_SQL = (
+    "SELECT DISTINCT l_orderkey % 1000 AS src, 1000 + (l_partkey % 1000) AS dst "
+    "FROM lineitem"
+)
+SUPPLY_EDGES_SQL = (
+    "SELECT DISTINCT l_orderkey % 400 AS src, l_suppkey % 400 AS dst "
+    "FROM lineitem WHERE l_orderkey % 400 <> l_suppkey % 400"
+)
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order->part bipartite link graph (power-law-ish in-degree, all part
+    vertices dangling — exercises PageRank's dangling redistribution)."""
+    li = _lineitem(spark, sf_dir)
+    return li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 1000).alias("dst"),
+    ).distinct()
+
+
+def weighted_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 1000).alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+
+
+def supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order->supplier graph on one id domain (non-bipartite: has triangles)."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.select(
+            (F.col("l_orderkey") % 400).alias("src"),
+            (F.col("l_suppkey") % 400).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph structure queries
+# ---------------------------------------------------------------------------
+
+def q_graph_edges_sym(spark, sf_dir):
+    g = Graph.from_edgelist(
+        weighted_raw_edges(spark, sf_dir), weight="weight", directed=False, renumber=False
+    )
+    return g.edges.select("src", "dst", "weight")
+
+
+def q_graph_degrees(spark, sf_dir):
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    o = g.out_degree().withColumnRenamed("degree", "out_degree")
+    i = g.in_degree().withColumnRenamed("degree", "in_degree")
+    return o.join(i, on="vertex").select("vertex", "out_degree", "in_degree")
+
+
+def q_graph_renumber_map(spark, sf_dir):
+    nm = build_number_map(link_edges(spark, sf_dir))
+    return nm.map.select(
+        F.col("key").alias("vertex"), "vid", F.col("out_degree").cast("long").alias("out_degree")
+    )
+
+
+def q_graph_two_hop(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return g.two_hop_neighbors().filter(F.col("first") < 10).select("first", "second")
+
+
+# ---------------------------------------------------------------------------
+# core algorithms
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark, sf_dir):
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    pr = pagerank(g, alpha=ALPHA, fixed_iterations=PR_ITERS)
+    return pr.select(
+        "vertex", F.round(F.col("pagerank") * 1e7).cast("long").alias("pr_e7")
+    )
+
+
+def q_wcc(spark, sf_dir):
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=False, renumber=False)
+    return weakly_connected_components(g).select("vertex", "labels")
+
+
+def q_lpa(spark, sf_dir):
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=False, renumber=False)
+    return label_propagation(g, fixed_iterations=LPA_ITERS).select("vertex", "labels")
+
+
+def q_triangles(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    n = triangle_count(g)
+    return spark.createDataFrame([(n,)], "triangles LONG")
+
+
+# ---------------------------------------------------------------------------
+# documents: training-data-pipeline text ops
+# ---------------------------------------------------------------------------
+
+def q_doc_token_count(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens")
+    )
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+_LANG_MARKERS = [("en", " the "), ("de", " der "), ("fr", " les "), ("es", " los ")]
+
+
+def q_doc_langid(spark, sf_dir):
+    """Marker-occurrence language heuristic (all markers 5 chars; argmax with
+    fixed priority en>de>fr>es, 'unknown' when no marker occurs)."""
+    d = _documents(spark, sf_dir)
+    cols = [
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(m)))) / 5)
+        .cast("long")
+        .alias(f"c_{lang}")
+        for lang, m in _LANG_MARKERS
+    ]
+    scored = d.select("doc_id", *cols)
+    mx = F.greatest(*[F.col(f"c_{lang}") for lang, _ in _LANG_MARKERS])
+    pred = F.when(mx <= 0, F.lit("unknown"))
+    for lang, _ in _LANG_MARKERS:
+        pred = pred.when(F.col(f"c_{lang}") == mx, F.lit(lang))
+    return scored.select("doc_id", pred.alias("predicted_lang"))
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("a")))).cast("long").alias("n_a"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+def q_doc_shingle_dups(spark, sf_dir):
+    """Word-5-gram Jaccard near-dup pairs at tau=0.5, integer-exact filter
+    2*common >= union (avoids float compare)."""
+    d = _documents(spark, sf_dir).select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 4)).alias("i"),
+            F.col("w"),
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("w", F.col("i"), 5)).alias("shingle"))
+        .distinct()
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), on="doc_a")
+        .join(per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), on="doc_b")
+        .withColumn("union_sh", F.col("na") + F.col("nb") - F.col("common"))
+        .filter(2 * F.col("common") >= F.col("union_sh"))
+        .select("doc_a", "doc_b", "common", "union_sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: quantized max-inner-product top-k (integer-exact differential)
+# ---------------------------------------------------------------------------
+
+def q_emb_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("be"))
+    dot = F.expr(
+        "aggregate(zip_with(qe, be, (x, y) -> "
+        "cast(round(cast(x as double)*1000) as bigint) * "
+        "cast(round(cast(y as double)*1000) as bigint)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        q.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "dot_q", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: hourly rollup (batch analogue of the streaming module)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_sum_e2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle builders
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({LINK_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "outdeg AS (SELECT src AS v, count(*) AS od FROM edges GROUP BY src)",
+        "vt AS MATERIALIZED (SELECT u.v, coalesce(o.od, 0) AS od "
+        "FROM univ u LEFT JOIN outdeg o ON u.v = o.v)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM vt)",
+        "r0 AS MATERIALIZED (SELECT v, od, 1.0/(SELECT n FROM nv) AS r FROM vt)",
+    ]
+    a, one_m_a = ALPHA, 1.0 - ALPHA
+    for k in range(1, PR_ITERS + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT b.v, b.od, "
+            f"((SELECT sum(CASE WHEN od = 0 THEN r ELSE 0 END) FROM {p}) * {a} + {one_m_a})"
+            f" / (SELECT n FROM nv) + {a} * coalesce(m.s, 0.0) AS r "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, sum(p.r / p.od) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(r * 1e7) AS BIGINT) AS pr_e7 FROM r{PR_ITERS}"
+    )
+
+
+def _wcc_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({LINK_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "l0 AS MATERIALIZED (SELECT v, v AS l FROM univ)",
+    ]
+    for k in range(1, WCC_ORACLE_ROUNDS + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT b.v, least(b.l, coalesce(m.ml, b.l)) AS l "
+            f"FROM {p} b LEFT JOIN (SELECT s.dst AS v, min(p.l) AS ml "
+            f"FROM sym s JOIN {p} p ON s.src = p.v GROUP BY s.dst) m ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, l AS labels FROM l{WCC_ORACLE_ROUNDS}"
+    )
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({LINK_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "lab0 AS MATERIALIZED (SELECT v, v AS l FROM univ)",
+    ]
+    for k in range(1, LPA_ITERS + 1):
+        p = f"lab{k-1}"
+        parts.append(
+            f"lab{k} AS MATERIALIZED (SELECT b.v, coalesce(w.nl, b.l) AS l FROM {p} b "
+            f"LEFT JOIN (SELECT v, l AS nl FROM (SELECT c.v, c.l, row_number() OVER "
+            f"(PARTITION BY c.v ORDER BY c.cnt DESC, c.l ASC) AS rn FROM "
+            f"(SELECT s.dst AS v, p.l, count(*) AS cnt FROM sym s JOIN {p} p "
+            f"ON s.src = p.v GROUP BY s.dst, p.l) c) t WHERE rn = 1) w ON b.v = w.v)"
+        )
+    return (
+        ",\n".join(parts) + f"\nSELECT v AS vertex, l AS labels FROM lab{LPA_ITERS}"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "graph_edges_sym": f"""
+        WITH raw AS (SELECT l_orderkey % 1000 AS src, 1000 + (l_partkey % 1000) AS dst,
+                            l_quantity AS weight FROM lineitem),
+        bidir AS (SELECT src, dst, weight FROM raw
+                  UNION ALL SELECT dst AS src, src AS dst, weight FROM raw)
+        SELECT src, dst, min(weight) AS weight FROM bidir GROUP BY src, dst
+    """,
+    "graph_degrees": f"""
+        WITH e AS ({LINK_EDGES_SQL}),
+        univ AS (SELECT unnest(generate_series(0, (SELECT max(greatest(src,dst)) FROM e))) AS vertex),
+        o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY src),
+        i AS (SELECT dst AS vertex, count(*) AS c FROM e GROUP BY dst)
+        SELECT u.vertex, CAST(coalesce(o.c,0) AS BIGINT) AS out_degree,
+               CAST(coalesce(i.c,0) AS BIGINT) AS in_degree
+        FROM univ u LEFT JOIN o ON u.vertex=o.vertex LEFT JOIN i ON u.vertex=i.vertex
+    """,
+    "graph_renumber_map": f"""
+        WITH e AS ({LINK_EDGES_SQL}),
+        verts AS (SELECT DISTINCT vertex FROM
+                  (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+        od AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY src),
+        m AS (SELECT v.vertex, CAST(coalesce(od.c,0) AS BIGINT) AS out_degree
+              FROM verts v LEFT JOIN od ON v.vertex = od.vertex)
+        SELECT vertex,
+               CAST(row_number() OVER (ORDER BY out_degree DESC, vertex ASC) - 1 AS BIGINT) AS vid,
+               out_degree
+        FROM m
+    """,
+    "graph_two_hop": f"""
+        WITH e AS ({SUPPLY_EDGES_SQL})
+        SELECT DISTINCT a.src AS first, b.dst AS second
+        FROM e a JOIN e b ON a.dst = b.src
+        WHERE a.src <> b.dst AND a.src < 10
+    """,
+    "pagerank": _pagerank_oracle(),
+    "wcc": _wcc_oracle(),
+    "lpa": _lpa_oracle(),
+    "triangles": f"""
+        WITH raw AS ({SUPPLY_EDGES_SQL}),
+        sym AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+        deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+        orient AS (SELECT e.src, e.dst FROM sym e
+                   JOIN deg a ON e.src = a.v JOIN deg b ON e.dst = b.v
+                   WHERE a.d < b.d OR (a.d = b.d AND e.src < e.dst))
+        SELECT count(*) AS triangles
+        FROM orient e1 JOIN orient e2 ON e1.dst = e2.src
+        JOIN orient e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    """,
+    "doc_token_count": """
+        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "doc_dedup_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_langid": """
+        WITH s AS (SELECT doc_id,
+            CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+            CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS c_de,
+            CAST((length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT) AS c_fr,
+            CAST((length(text) - length(replace(text, ' los ', ''))) / 5 AS BIGINT) AS c_es
+            FROM documents)
+        SELECT doc_id, CASE
+            WHEN greatest(c_en, c_de, c_fr, c_es) <= 0 THEN 'unknown'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+        FROM s
+    """,
+    "doc_quality": """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS n_a
+        FROM documents
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "doc_shingle_dups": """
+        WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM words),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle FROM idx),
+        per_doc AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT c.doc_a, c.doc_b, c.common, pa.n_sh + pb.n_sh - c.common AS union_sh
+        FROM common c
+        JOIN per_doc pa ON c.doc_a = pa.doc_id
+        JOIN per_doc pb ON c.doc_b = pb.doc_id
+        WHERE 2 * c.common >= pa.n_sh + pb.n_sh - c.common
+    """,
+    "emb_topk": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        pairs AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(CAST(round(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                     * CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS dot_q
+            FROM q, embeddings b, generate_series(1, 64) AS t(i)
+            WHERE b.vec_id <> q.vec_id
+            GROUP BY q.vec_id, b.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, dot_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+                   FROM pairs)
+        SELECT query_id, neighbor_id, dot_q, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_e2
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "graph_edges_sym": q_graph_edges_sym,
+    "graph_degrees": q_graph_degrees,
+    "graph_renumber_map": q_graph_renumber_map,
+    "graph_two_hop": q_graph_two_hop,
+    "pagerank": q_pagerank,
+    "wcc": q_wcc,
+    "lpa": q_lpa,
+    "triangles": q_triangles,
+    "doc_token_count": q_doc_token_count,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_langid": q_doc_langid,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_shingle_dups": q_doc_shingle_dups,
+    "emb_topk": q_emb_topk,
+    "events_hourly": q_events_hourly,
+}

@@ -1,0 +1,77 @@
+"""Mini-driver: run every queries() entry and its DuckDB oracle at sf0.001
+and compare row multisets exactly (the same gate the real driver applies at
+sf0.01, minus the hashing)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r)) if not hasattr(r, "asDict") else r.asDict()
+        vals = []
+        for c in sorted(d):
+            v = d[c]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+QUERY_NAMES = sorted(entrymod.queries())
+
+
+def test_every_query_has_oracle():
+    missing = [n for n in QUERY_NAMES if n not in entrymod.oracle_sql()]
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    cols = sorted(sdf.columns)
+    spark_rows = _norm(sdf.collect(), sdf.columns)
+    rel = ddb.sql(entrymod.oracle_sql()[name])
+    duck_rows = _norm(rel.fetchall(), rel.columns)
+    assert sorted(c.lower() for c in rel.columns) == [c.lower() for c in cols], (
+        f"{name}: column mismatch spark={cols} duck={sorted(rel.columns)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
+    ][:5]
+    assert not mismatches, f"{name}: first diffs {mismatches}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert df.columns == ["vertex", "pr_e7"]
+    assert all(r.pr_e7 > 0 for r in rows)
