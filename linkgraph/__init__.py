@@ -3,40 +3,100 @@
 From-scratch re-implementation of the core capability surface of the
 reference cuGraph snapshot (see SURVEY.md), expressed as idiomatic Spark
 DataFrame programs: PageRank, weakly connected components, label
-propagation, triangle counting, plus the structure layer (symmetrize,
-dense renumbering, degrees, subgraph/two-hop) and the web-page input
-boundary (deterministic corpus + vectorized extraction UDFs).
+propagation, triangle counting, BFS/SSSP, Katz, HITS, link-prediction
+coefficients, k-core, ego graphs, hypergraph transform — plus the structure
+layer (symmetrize, dense renumbering, degrees, subgraph/two-hop), the
+web-page input boundary (deterministic corpus + vectorized extraction UDFs),
+and training-data-pipeline ops (dedup tiers, text analysis, ANN search).
 """
 
 from .corpus import generate_pages
 from .extract import extract_links, extract_text, pages_to_edges
+from .generators import rmat_edges
 from .session import get_spark
 from .structure.graph import Graph
+from .structure.hypergraph import hypergraph
 from .structure.renumber import NumberMap, build_number_map, renumber_edges
 from .structure.symmetrize import symmetrize_edges, upper_triangle
 from .algorithms.pagerank import PageRankConvergenceError, pagerank
 from .algorithms.wcc import connected_components, weakly_connected_components
 from .algorithms.lpa import label_propagation
 from .algorithms.triangles import triangle_count
+from .algorithms.traversal import bfs, filter_unreachable, shortest_path_length, sssp
+from .algorithms.katz import KatzConvergenceError, katz_centrality
+from .algorithms.hits import hits
+from .algorithms.link_prediction import jaccard, overlap, sorensen
+from .algorithms.cores import core_number, k_core
+from .algorithms.egonet import batched_ego_graphs, ego_graph
+from .similarity import cosine_topk, hyperplane_signatures, lsh_cosine_topk
+from .text.analysis import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_metrics,
+    token_count,
+    word_shingles,
+)
+from .text.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
 
 __all__ = [
     "Graph",
+    "KatzConvergenceError",
     "NumberMap",
     "PageRankConvergenceError",
+    "batched_ego_graphs",
+    "bfs",
+    "bpe_ish_token_count",
     "build_number_map",
     "connected_components",
+    "core_number",
+    "cosine_topk",
+    "ego_graph",
+    "exact_dedup",
     "extract_links",
     "extract_text",
+    "filter_unreachable",
+    "fingerprint",
     "generate_pages",
     "get_spark",
+    "hits",
+    "hypergraph",
+    "hyperplane_signatures",
+    "jaccard",
+    "k_core",
+    "katz_centrality",
     "label_propagation",
+    "language_id",
+    "lsh_cosine_topk",
+    "minhash_dedup",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "overlap",
     "pagerank",
     "pages_to_edges",
+    "quality_metrics",
     "renumber_edges",
+    "rmat_edges",
+    "shortest_path_length",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "sorensen",
+    "sssp",
     "symmetrize_edges",
+    "token_count",
     "triangle_count",
     "upper_triangle",
     "weakly_connected_components",
+    "word_shingles",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,95 @@
+"""Link-prediction similarity coefficients: Jaccard, Overlap, Sørensen.
+
+Reference: link_prediction/jaccard.py:23-185 (default vertex pairs = the
+graph's existing edges, :35-42), overlap.py:22-105, sorensen.py:23-153;
+kernels cpp/src/link_prediction/jaccard.cu (per-pair neighbor-set
+intersection). Weighted variants (jaccard_w etc.) use the sum of vertex
+weights over the intersection/union; v1 implements the unweighted family.
+
+Relational mapping (SURVEY §2.2 two-hop shape): for pair (u, v),
+|N(u) ∩ N(v)| is a wedge count — join the undirected edge table with itself
+through the common neighbor, then count per pair; degrees give the
+denominators:
+    jaccard  = |∩| / (deg(u) + deg(v) − |∩|)
+    overlap  = |∩| / min(deg(u), deg(v))
+    sorensen = 2|∩| / (deg(u) + deg(v))
+All hash joins + hash aggs, map-side combined; no windows, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..structure.graph import Graph
+from ..structure.symmetrize import symmetrize_edges, upper_triangle
+
+
+def _pair_common_neighbors(graph: Graph, vertex_pair: DataFrame | None):
+    """(first, second, cn, deg_first, deg_second) for the requested pairs."""
+    edges = graph.edges.select("src", "dst")
+    if graph.directed:
+        edges = symmetrize_edges(edges, weight=None, symmetrize=True)
+    edges = edges.filter(F.col("src") != F.col("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if vertex_pair is None:
+        # default: the existing (undirected) edges (jaccard.py:35-42)
+        pairs = upper_triangle(edges).select(
+            F.col("src").alias("first"), F.col("dst").alias("second")
+        )
+    else:
+        pairs = vertex_pair.select("first", "second")
+    a = edges.select(F.col("src").alias("first"), F.col("dst").alias("nbr"))
+    b = edges.select(F.col("src").alias("second"), F.col("dst").alias("nbr"))
+    cn = (
+        pairs.join(a, on="first")
+        .join(b, on=["second", "nbr"], how="leftsemi")
+        .groupBy("first", "second")
+        .agg(F.count("*").alias("cn"))
+    )
+    deg = edges.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("deg"))
+    out = (
+        pairs.join(cn, on=["first", "second"], how="left")
+        .fillna(0, subset=["cn"])
+        .join(deg.select(F.col("vertex").alias("first"), F.col("deg").alias("deg_first")), on="first", how="left")
+        .join(deg.select(F.col("vertex").alias("second"), F.col("deg").alias("deg_second")), on="second", how="left")
+        .fillna(0, subset=["deg_first", "deg_second"])
+    )
+    return out
+
+
+def _finish(graph: Graph, df: DataFrame, coeff_col, name: str) -> DataFrame:
+    out = df.select(
+        F.col("first").alias("source"),
+        F.col("second").alias("destination"),
+        coeff_col.alias(name),
+    )
+    if graph.renumbered:
+        out = graph.unrenumber(graph.unrenumber(out, "source"), "destination")
+    return out
+
+
+def jaccard(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, jaccard_coeff]."""
+    d = _pair_common_neighbors(graph, vertex_pair)
+    denom = F.col("deg_first") + F.col("deg_second") - F.col("cn")
+    coeff = F.when(denom > 0, F.col("cn") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "jaccard_coeff")
+
+
+def overlap(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, overlap_coeff]."""
+    d = _pair_common_neighbors(graph, vertex_pair)
+    denom = F.least("deg_first", "deg_second")
+    coeff = F.when(denom > 0, F.col("cn") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "overlap_coeff")
+
+
+def sorensen(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, sorensen_coeff]."""
+    d = _pair_common_neighbors(graph, vertex_pair)
+    denom = F.col("deg_first") + F.col("deg_second")
+    coeff = F.when(denom > 0, 2.0 * F.col("cn") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "sorensen_coeff")

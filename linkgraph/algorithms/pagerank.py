@@ -149,6 +149,7 @@ def pagerank(
     checkpoint_every: int = 10,
     fail_on_nonconvergence: bool = True,
     fixed_iterations: int | None = None,
+    iteration_timings: list | None = None,
 ) -> DataFrame:
     """Returns DF[vertex, pagerank] over ALL V vertices (external ids if the
     graph was renumbered — pagerank.py:132-133 unrenumbers the same way).
@@ -220,8 +221,10 @@ def pagerank(
     bcast = V <= BROADCAST_STATE_MAX_V
     it = start_iter
     delta = None
+    import time as _time
     with no_aqe(spark):
         while it < n_iter:
+            _t0 = _time.time()
             it += 1
             K = dangling_sum * alpha + (1.0 - alpha)
             const_expr = F.lit(K) * F.col("p") if pers is not None else F.lit(K / V)
@@ -237,6 +240,8 @@ def pagerank(
             ).collect()[0]
             delta, dangling_sum = float(stats["delta"]), float(stats["dang"] or 0.0)
             ranks = new
+            if iteration_timings is not None:
+                iteration_timings.append(_time.time() - _t0)
             if ckpt is not None and (it % checkpoint_every == 0):
                 ranks = ckpt.save(
                     ranks.select("vertex", "is_dangling", "r"),

@@ -1,0 +1,201 @@
+"""BFS and SSSP as frontier-expansion superstep loops.
+
+Reference:
+- BFS python API traversal/bfs.py:80-185; impl cpp/src/traversal/
+  bfs_impl.cuh:48-230 (frontier push via update_frontier_v_push_if_out_nbr;
+  unreached distance = invalid int max :102-108). Returns
+  DF[vertex, distance, predecessor]; any-predecessor semantics (we pick
+  min(src) deterministically); start vertex predecessor = -1.
+- SSSP python API traversal/sssp.py:120-338; impl cpp/src/traversal/
+  sssp_impl.cuh:48-276 (near-far delta-stepping buckets). We implement the
+  relational equivalent: iterative relaxation with a changed-vertex frontier
+  (Bellman-Ford shape) — delta-stepping's bucketing is a GPU work-scheduling
+  detail; the fixed point is identical. Requires non-negative weights like
+  the reference (sssp_impl.cuh rejects negative weights).
+
+Scale shape: frontier ⋈ edges on src -> min-reduce by dst (one shuffle per
+level, map-side combined); frontier shrinks to the active set so late levels
+touch little data. Unreachable vertices keep null distance (the relational
+rendering of the reference's invalid_distance sentinel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..structure.graph import Graph
+from ..structure.symmetrize import symmetrize_edges
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
+
+
+def _internal_source(graph: Graph, start):
+    if graph.renumbered:
+        vid = graph._to_internal(start)
+        if vid is None:
+            raise ValueError(f"start vertex {start!r} not in graph")
+        return vid
+    return int(start)
+
+
+def bfs(
+    graph: Graph,
+    start,
+    depth_limit: int | None = None,
+    directed: bool | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DF[vertex, distance, predecessor]; unreachable -> null distance,
+    start's predecessor = -1 (internal id space uses -1 like the reference)."""
+    spark = graph.edges.sparkSession
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
+    edges = graph.edges.select("src", "dst")
+    if directed is False and graph.directed:
+        edges = symmetrize_edges(edges, weight=None, symmetrize=True)
+    edges = edges.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
+
+    s = _internal_source(graph, start)
+    # visited(vertex, distance, predecessor)
+    visited = spark.createDataFrame(
+        [(s, 0, -1)], "vertex LONG, distance LONG, predecessor LONG"
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("vertex")
+    depth = 0
+    with no_aqe(spark):
+        while depth_limit is None or depth < depth_limit:
+            depth += 1
+            f_src = frontier.select(F.col("vertex").alias("src"))
+            f_src = F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
+            nxt = (
+                edges.join(f_src, on="src")
+                .groupBy("dst")
+                .agg(F.min("src").alias("predecessor"))
+                .withColumnRenamed("dst", "vertex")
+            )
+            v_keys = visited.select("vertex")
+            nxt = nxt.join(
+                F.broadcast(v_keys) if bcast else v_keys, on="vertex", how="left_anti"
+            ).select("vertex", F.lit(depth).cast("long").alias("distance"), "predecessor")
+            nxt = nxt.localCheckpoint(eager=False)
+            n_new = nxt.count()
+            if n_new == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt.select("vertex")
+    out = (
+        graph.vertices()
+        .join(visited, on="vertex", how="left")
+        .select("vertex", "distance", "predecessor")
+    )
+    if graph.renumbered:
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def sssp(
+    graph: Graph,
+    source,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DF[vertex, distance, predecessor] — shortest weighted distances
+    (unweighted graphs behave as weight 1.0/edge, matching the reference's
+    default edge weight). Deterministic predecessor: min src among optimal."""
+    spark = graph.edges.sparkSession
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
+    w = F.col("weight") if graph.weighted else F.lit(1.0)
+    edges = (
+        graph.edges.select("src", "dst", w.alias("w"))
+        .repartition(nparts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if edges.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("SSSP requires non-negative weights")
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
+
+    s = _internal_source(graph, source)
+    dist = spark.createDataFrame(
+        [(s, 0.0, -1)], "vertex LONG, distance DOUBLE, predecessor LONG"
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    it = 0
+    with no_aqe(spark):
+        while it < max_iter:
+            it += 1
+            f_src = frontier.select(
+                F.col("vertex").alias("src"), F.col("distance").alias("d_src")
+            )
+            f_src = F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
+            # relax: min (distance + w) per dst; deterministic min-src tie-break
+            cand = (
+                edges.join(f_src, on="src")
+                .groupBy("dst")
+                .agg(
+                    F.min(
+                        F.struct((F.col("d_src") + F.col("w")).alias("nd"), F.col("src"))
+                    ).alias("t")
+                )
+                .select(
+                    F.col("dst").alias("vertex"),
+                    F.col("t.nd").alias("nd"),
+                    F.col("t.src").alias("npred"),
+                )
+            )
+            if bcast:
+                cand = F.broadcast(cand)
+            merged = (
+                dist.join(cand, on="vertex", how="full_outer")
+                .select(
+                    "vertex",
+                    F.when(
+                        F.col("distance").isNull()
+                        | (F.col("nd") < F.col("distance")),
+                        F.col("nd"),
+                    )
+                    .otherwise(F.col("distance"))
+                    .alias("distance"),
+                    F.when(
+                        F.col("distance").isNull()
+                        | (F.col("nd") < F.col("distance")),
+                        F.col("npred"),
+                    )
+                    .otherwise(F.col("predecessor"))
+                    .alias("predecessor"),
+                    (
+                        F.col("distance").isNull()
+                        | (F.col("nd") < F.col("distance"))
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_changed = merged.filter(F.col("changed")).count()
+            dist = merged.select("vertex", "distance", "predecessor")
+            frontier = merged.filter(F.col("changed")).select(
+                "vertex", "distance", "predecessor"
+            )
+            if n_changed == 0:
+                break
+    out = (
+        graph.vertices()
+        .join(dist, on="vertex", how="left")
+        .select("vertex", "distance", "predecessor")
+    )
+    if graph.renumbered:
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def shortest_path_length(graph: Graph, source, target) -> float | None:
+    """traversal/sssp.py convenience: distance between two vertices."""
+    res = sssp(graph, source)
+    key = "vertex"
+    rows = res.filter(F.col(key) == target).collect()
+    return None if not rows or rows[0]["distance"] is None else float(rows[0]["distance"])
+
+
+def filter_unreachable(df: DataFrame) -> DataFrame:
+    """traversal/sssp.py:filter_unreachable — drop null-distance rows."""
+    return df.filter(F.col("distance").isNotNull())

@@ -497,3 +497,259 @@ QUERIES = {
     "emb_topk": q_emb_topk,
     "events_hourly": q_events_hourly,
 }
+
+
+# ---------------------------------------------------------------------------
+# extended operator surface (round 1, M6): jaccard, bfs, katz, hits, egonet,
+# hypergraph — each with an unrolled/relational DuckDB oracle; plus
+# rows-only queries (NO_ORACLE) for ops whose randomized internals
+# (hash seeds, hyperplanes) cannot be replicated in SQL.
+# ---------------------------------------------------------------------------
+
+from .algorithms.egonet import batched_ego_graphs as _bego  # noqa: E402
+from .algorithms.hits import hits as _hits  # noqa: E402
+from .algorithms.katz import katz_centrality as _katz  # noqa: E402
+from .algorithms.link_prediction import jaccard as _jaccard  # noqa: E402
+from .algorithms.traversal import bfs as _bfs  # noqa: E402
+from .algorithms.cores import core_number as _core_number  # noqa: E402
+from .structure.hypergraph import hypergraph as _hypergraph  # noqa: E402
+
+KATZ_ALPHA, KATZ_ITERS = 0.05, 8
+HITS_ITERS = 5
+BFS_ORACLE_ROUNDS = 20
+EGO_SEEDS, EGO_RADIUS = [0, 1, 2, 3, 4], 2
+
+
+def q_jaccard(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return _jaccard(g).select(
+        "source",
+        "destination",
+        F.round(F.col("jaccard_coeff") * 1e6).cast("long").alias("jc_e6"),
+    )
+
+
+def q_bfs(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return _bfs(g, 0).select("vertex", "distance")
+
+
+def q_katz(spark, sf_dir):
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    res = _katz(
+        g, alpha=KATZ_ALPHA, beta=1.0, normalized=False, fixed_iterations=KATZ_ITERS
+    )
+    return res.select(
+        "vertex", F.round(F.col("katz_centrality") * 1e7).cast("long").alias("katz_e7")
+    )
+
+
+def q_hits(spark, sf_dir):
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    res = _hits(g, fixed_iterations=HITS_ITERS)
+    return res.select(
+        "vertex",
+        F.round(F.col("hubs") * 1e7).cast("long").alias("hubs_e7"),
+        F.round(F.col("authorities") * 1e7).cast("long").alias("auth_e7"),
+    )
+
+
+def q_ego_graph(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return _bego(g, EGO_SEEDS, radius=EGO_RADIUS).select("seed", "vertex", "distance")
+
+
+def q_hypergraph_edges(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hg = _hypergraph(
+        orders, columns=["o_custkey", "o_orderpriority"], event_id_col="o_orderkey"
+    )
+    return hg["edges"].select("src", "dst")
+
+
+# --- rows-only queries (randomized internals; verified in pytest instead) ---
+
+def q_core_number(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return _core_number(g).select("vertex", "core_number")
+
+
+def q_doc_minhash_dedup(spark, sf_dir):
+    from .text.dedup import minhash_dedup
+
+    d = _documents(spark, sf_dir)
+    return minhash_dedup(d, threshold=0.5).select("doc_id", "cluster", "keep")
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    from .similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    res = lsh_cosine_topk(emb, queries_df, k=5, nbits=8)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cos_e6"),
+        "rnk",
+    )
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+        WITH raw AS ({SUPPLY_EDGES_SQL}),
+        sym AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+        deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+        pairs AS (SELECT src AS f, dst AS s FROM sym WHERE src <= dst),
+        cn AS (SELECT p.f, p.s, count(*) AS cn
+               FROM pairs p JOIN sym a ON a.src = p.f JOIN sym b ON b.src = p.s AND b.dst = a.dst
+               GROUP BY p.f, p.s)
+        SELECT p.f AS source, p.s AS destination,
+               CAST(round((CAST(coalesce(cn.cn, 0) AS DOUBLE)
+                           / (da.d + db.d - coalesce(cn.cn, 0))) * 1000000.0) AS BIGINT) AS jc_e6
+        FROM pairs p
+        JOIN deg da ON p.f = da.v JOIN deg db ON p.s = db.v
+        LEFT JOIN cn ON p.f = cn.f AND p.s = cn.s
+    """
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "d0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN CAST(0 AS BIGINT) END AS dist FROM univ)",
+    ]
+    for k in range(1, BFS_ORACLE_ROUNDS + 1):
+        p = f"d{k-1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT b.v, CASE "
+            f"WHEN m.md IS NULL THEN b.dist WHEN b.dist IS NULL THEN m.md "
+            f"ELSE least(b.dist, m.md) END AS dist "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, min(p.dist + 1) AS md "
+            f"FROM edges e JOIN {p} p ON e.src = p.v WHERE p.dist IS NOT NULL "
+            f"GROUP BY e.dst) m ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, dist AS distance FROM d{BFS_ORACLE_ROUNDS}"
+    )
+
+
+def _katz_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({LINK_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "c0 AS MATERIALIZED (SELECT v, CAST(0.0 AS DOUBLE) AS c FROM univ)",
+    ]
+    for k in range(1, KATZ_ITERS + 1):
+        p = f"c{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT b.v, "
+            f"{KATZ_ALPHA} * coalesce(m.s, 0.0) + 1.0 AS c "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, sum(p.c) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(c * 1e7) AS BIGINT) AS katz_e7 FROM c{KATZ_ITERS}"
+    )
+
+
+def _hits_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({LINK_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM univ)",
+        "s0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nv) AS h, "
+        "1.0/(SELECT n FROM nv) AS a FROM univ)",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"araw{k} AS MATERIALIZED (SELECT b.v, b.h, coalesce(m.s, 0.0) AS a_new "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, sum(p.h) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+        parts.append(
+            f"anorm{k} AS MATERIALIZED (SELECT v, h, "
+            f"a_new / (SELECT sum(a_new) FROM araw{k}) AS a FROM araw{k})"
+        )
+        parts.append(
+            f"hraw{k} AS MATERIALIZED (SELECT b.v, coalesce(m.s, 0.0) AS h_new, b.a "
+            f"FROM anorm{k} b LEFT JOIN (SELECT e.src AS v, sum(p.a) AS s "
+            f"FROM edges e JOIN anorm{k} p ON e.dst = p.v GROUP BY e.src) m ON b.v = m.v)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v, "
+            f"h_new / (SELECT sum(h_new) FROM hraw{k}) AS h, a FROM hraw{k})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(h * 1e7) AS BIGINT) AS hubs_e7, "
+        f"CAST(round(a * 1e7) AS BIGINT) AS auth_e7 FROM s{HITS_ITERS}"
+    )
+
+
+def _ego_oracle() -> str:
+    seeds = ", ".join(str(s) for s in EGO_SEEDS)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        f"m0 AS MATERIALIZED (SELECT s AS seed, s AS vertex, CAST(0 AS BIGINT) AS distance "
+        f"FROM (SELECT unnest([{seeds}]) AS s))",
+    ]
+    for k in range(1, EGO_RADIUS + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT seed, vertex FROM m{j}" for j in range(k)
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT f.seed, e.dst AS vertex, "
+            f"CAST({k} AS BIGINT) AS distance "
+            f"FROM m{k-1} f JOIN edges e ON e.src = f.vertex "
+            f"WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) x "
+            f"WHERE x.seed = f.seed AND x.vertex = e.dst) "
+            f"GROUP BY f.seed, e.dst)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{j}" for j in range(EGO_RADIUS + 1))
+    return ",\n".join(parts) + f"\nSELECT seed, vertex, distance FROM ({union}) t"
+
+
+ORACLES.update(
+    {
+        "jaccard": _jaccard_oracle(),
+        "bfs": _bfs_oracle(),
+        "katz": _katz_oracle(),
+        "hits": _hits_oracle(),
+        "ego_graph": _ego_oracle(),
+        "hypergraph_edges": """
+            SELECT 'event::' || CAST(o_orderkey AS VARCHAR) AS src,
+                   'o_custkey::' || CAST(o_custkey AS VARCHAR) AS dst
+            FROM orders WHERE o_custkey IS NOT NULL
+            UNION ALL
+            SELECT 'event::' || CAST(o_orderkey AS VARCHAR) AS src,
+                   'o_orderpriority::' || o_orderpriority AS dst
+            FROM orders WHERE o_orderpriority IS NOT NULL
+        """,
+    }
+)
+
+QUERIES.update(
+    {
+        "jaccard": q_jaccard,
+        "bfs": q_bfs,
+        "katz": q_katz,
+        "hits": q_hits,
+        "ego_graph": q_ego_graph,
+        "hypergraph_edges": q_hypergraph_edges,
+        "core_number": q_core_number,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "emb_lsh_topk": q_emb_lsh_topk,
+    }
+)
+
+# queries exercised by pytest oracles instead of SQL (randomized internals:
+# hash permutations / hyperplanes, or loop-carried peeling)
+NO_ORACLE = {"core_number", "doc_minhash_dedup", "emb_lsh_topk"}

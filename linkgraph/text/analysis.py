@@ -1,0 +1,111 @@
+"""Text analysis ops for training-data pipelines over a documents table.
+
+All pure built-in-expression implementations (JVM-side, whole-stage codegen)
+— no Python in the hot path. These are the engine-level general forms; the
+driver-contract queries (linkgraph/queries.py) pin specific parameters so
+their DuckDB oracles stay byte-equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", " the "),
+    ("de", " der "),
+    ("fr", " les "),
+    ("es", " los "),
+]
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (single-space tokenizer, trim first)."""
+    return F.size(F.split(F.trim(text), " ")).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: word-boundary pieces + digit runs + punctuation
+    as separate tokens (a regex approximation of byte-pair segmentation used
+    for cheap token budgeting)."""
+    pieces = F.regexp_extract_all(
+        F.col(text) if isinstance(text, str) else text,
+        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+        0,
+    )
+    return F.size(pieces).cast("long")
+
+
+def marker_count(text: Column | str, marker: str) -> Column:
+    """Occurrences of a fixed marker substring (length-difference trick —
+    exact, vectorized, and expressible identically in ANSI SQL)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return ((F.length(t) - F.length(F.replace(t, F.lit(marker)))) / len(marker)).cast(
+        "long"
+    )
+
+
+def language_id(
+    text: Column | str, markers: list[tuple[str, str]] | None = None
+) -> Column:
+    """Marker-occurrence language heuristic; argmax with fixed priority
+    order, 'unknown' when no marker occurs."""
+    markers = markers or DEFAULT_LANG_MARKERS
+    counts = {lang: marker_count(text, m) for lang, m in markers}
+    mx = F.greatest(*counts.values())
+    pred = F.when(mx <= 0, F.lit("unknown"))
+    for lang, _ in markers:
+        pred = pred.when(counts[lang] == mx, F.lit(lang))
+    return pred
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Whitespace-normalized lowercase md5 document fingerprint."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    punctuation & digit ratios, and a composite is_low_quality flag (the
+    usual pretraining-filter heuristics)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tok = token_count(t)
+    n_punct = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)
+    ).cast("long")
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)).cast("long")
+    out = df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_chars / F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+    )
+    return out.withColumn(
+        "is_low_quality",
+        (F.col("n_tokens") < 5)
+        | (F.col("mean_token_len") > 20)
+        | (F.col("punct_ratio") > 0.3)
+        | (F.col("digit_ratio") > 0.5),
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Distinct word k-gram shingles: DF[id, shingle]. Built-in sequence +
+    slice + explode — the shingle explosion never leaves the JVM."""
+    w = F.split(F.trim(text_col), " ")
+    return (
+        df.select(id_col, w.alias("w"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.greatest(F.size("w") - (k - 1), F.lit(1)))).alias("i"),
+            "w",
+        )
+        .select(id_col, F.concat_ws(" ", F.slice("w", F.col("i"), k)).alias("shingle"))
+        .distinct()
+    )

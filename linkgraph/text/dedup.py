@@ -1,0 +1,275 @@
+"""Deduplication for web-scale training corpora.
+
+Four tiers, cheapest first (each a standard published technique):
+- exact: hash-groupBy on the full text (one shuffle with map-side combine);
+- ngram_jaccard: exact word-shingle Jaccard over candidate pairs produced by
+  a shingle self-join (exact but O(shared-shingle pairs));
+- minhash_lsh: MinHash signatures (Broder 1997) + banded LSH
+  (Indyk-Motwani / Leskovec et al., MMDS ch.3) — shingle→minhash→band→
+  bucket-join; candidates verified with exact Jaccard, then duplicate
+  clusters are the CONNECTED COMPONENTS of the duplicate-pair graph — we
+  reuse this engine's own WCC superstep machinery for that;
+- simhash (Charikar 2002, the Google near-dup detector): 64-bit weighted
+  sign-fingerprint; near-dup candidates from 16-bit band buckets, verified
+  by Hamming distance with bit_count (JVM-side popcount).
+
+The only Python crossing is the vectorized MinHash signature UDF (numpy over
+Arrow batches); everything else is built-in expressions + hash shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..structure.graph import Graph
+from .analysis import word_shingles
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DF[id, keep] — keep=True for the minimum id per identical text."""
+    h = F.md5(F.col(text_col)).alias("__h__")
+    keep = df.select(id_col, h).groupBy("__h__").agg(F.min(id_col).alias("__keep__"))
+    return (
+        df.select(id_col, h)
+        .join(keep, on="__h__")
+        .select(id_col, (F.col(id_col) == F.col("__keep__")).alias("keep"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard >= threshold pairs: DF[id_a, id_b, jaccard].
+    Integer cross-multiplied filter (no float compare at the boundary)."""
+    sh = word_shingles(df, text_col, id_col, k)
+    per_doc = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    thr_num, thr_den = int(round(threshold * 1_000_000)), 1_000_000
+    return (
+        common.join(per_doc.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), on="id_a")
+        .join(per_doc.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), on="id_b")
+        .withColumn("union_sh", F.col("na") + F.col("nb") - F.col("common"))
+        .filter(F.col("common") * thr_den >= F.lit(thr_num) * F.col("union_sh"))
+        .select("id_a", "id_b", (F.col("common") / F.col("union_sh")).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """DF[id, sig:array<long>] — MinHash over word k-gram shingles.
+
+    Vectorized: per Arrow batch, shingle base-hashes (blake2b-8byte) are
+    combined with num_perm universal-hash (a*x+b mod p) permutations in one
+    numpy matrix op per document.
+    """
+    # a,b < 2^31 and base hashes < 2^32 keep a*x+b < 2^63: the permutation
+    # matrix op stays in native int64 (no object-dtype bigint fallback)
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, (1 << 31) - 1, size=num_perm, dtype=np.int64)
+    B = rng.integers(0, (1 << 31) - 1, size=num_perm, dtype=np.int64)
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).strip().split(" ")
+                if len(toks) < k:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=4).digest(), "big"
+                        )
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                # (num_perm, n_shingles) universal hashes; min along shingles
+                m = ((A[:, None] * hs[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
+                ids.append(doc_id)
+                sigs.append([int(x) for x in m])
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sig_batches, f"{id_col} long, sig array<long>"
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """Banded LSH: equal band-slices of the signature land in one bucket;
+    DF[id_a, id_b] distinct candidate pairs (id_a < id_b)."""
+    num_perm_col = F.size("sig")
+    rows_per_band = (num_perm_col / bands).cast("int")
+    banded = sigs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dup dedup: DF[id, cluster, keep].
+
+    minhash -> banded LSH candidates -> exact-Jaccard verification ->
+    duplicate clusters = connected components of the verified pair graph
+    (this engine's own WCC) -> keep = min id per cluster.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed)
+    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    # verify candidates with exact shingle Jaccard
+    sh = word_shingles(df, text_col, id_col, k)
+    per_doc = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"], how="leftsemi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    thr_num = int(round(threshold * 1_000_000))
+    verified = (
+        common.join(per_doc.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), on="id_a")
+        .join(per_doc.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), on="id_b")
+        .filter(
+            F.col("common") * 1_000_000
+            >= F.lit(thr_num) * (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .select("id_a", "id_b")
+    )
+    # duplicate clusters = WCC over the verified duplicate-pair graph
+    from ..algorithms.wcc import weakly_connected_components
+
+    ids = df.select(F.col(id_col).alias("vertex"))
+    pair_edges = verified.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    g = Graph.from_edgelist(
+        pair_edges, directed=False, renumber=True, vertices=ids
+    )
+    comp = weakly_connected_components(g)
+    # canonicalize cluster ids to the min external doc id per component
+    canon = comp.groupBy("labels").agg(F.min("vertex").alias("cluster"))
+    out = (
+        comp.join(canon, on="labels")
+        .select(
+            F.col("vertex").alias(id_col),
+            "cluster",
+            (F.col("vertex") == F.col("cluster")).alias("keep"),
+        )
+    )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DF[id, simhash:long] — 64-bit Charikar simhash over whitespace tokens
+    weighted by term frequency. Pure built-in expressions: per-token xxhash64
+    bits are summed signed per bit position via explode + agg."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.trim(text_col), " ")).alias("tok")
+    ).groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    toks = toks.withColumn("h", F.xxhash64("tok"))
+    bit_cols = []
+    for i in range(64):
+        bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+        bit_cols.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+        )
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """DF[id_a, id_b, hamming] — pairs within Hamming distance via 16-bit
+    band buckets (a 4-band LSH: any pair with hamming <= 3 shares at least
+    one exact 16-bit band) then exact bit_count verification."""
+    bands = [
+        (i, F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+        for i in range(4)
+    ]
+    banded = None
+    for i, expr in bands:
+        part = sigs.select(
+            F.col(id_col).alias("id"), F.lit(i).alias("band"), expr.alias("bucket"), "simhash"
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket", F.col("simhash").alias("sa"))
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket", F.col("simhash").alias("sb"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""spark-submit entry point — the full corpus -> graph -> algorithm pipeline.
+
+Cluster launch (the north-rule launch mode):
+
+    bash scripts/make_pyfiles.sh          # builds dist/linkgraph.zip
+    spark-submit --py-files dist/linkgraph.zip \
+        scripts/run_pipeline.py --pages-dir /data/pages \
+        --algorithm pagerank --output /data/out \
+        --checkpoint-dir /data/ckpt --tol 1e-6
+
+Local smoke (synthesizes the corpus):
+
+    python scripts/run_pipeline.py --n-pages 2000 --algorithm pagerank \
+        --output /tmp/out --checkpoint-dir /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-dir", help="parquet dir of pages (url, warc_ts, html, text, lang)")
+    ap.add_argument("--n-pages", type=int, default=0, help="synthesize a corpus instead")
+    ap.add_argument(
+        "--algorithm",
+        default="pagerank",
+        choices=["pagerank", "wcc", "lpa", "triangles"],
+    )
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=500)
+    ap.add_argument("--top", type=int, default=20)
+    args = ap.parse_args()
+
+    from linkgraph import (
+        Graph,
+        generate_pages,
+        get_spark,
+        label_propagation,
+        pagerank,
+        pages_to_edges,
+        triangle_count,
+        weakly_connected_components,
+    )
+
+    spark = get_spark(app_name=f"linkgraph-{args.algorithm}")
+    t0 = time.time()
+    if args.pages_dir:
+        pages = spark.read.parquet(args.pages_dir)
+    elif args.n_pages:
+        pages = generate_pages(spark, args.n_pages, seed=42)
+    else:
+        raise SystemExit("need --pages-dir or --n-pages")
+    pages = pages.cache()
+    edges = pages_to_edges(pages)
+    directed = args.algorithm == "pagerank"
+    g = Graph.from_edgelist(
+        edges,
+        directed=directed,
+        renumber=True,
+        vertices=pages.select(F.col("url").alias("vertex")),
+    )
+    if args.algorithm == "pagerank":
+        res = pagerank(
+            g,
+            alpha=args.alpha,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        res.write.mode("overwrite").parquet(args.output)
+        top = res.orderBy(F.desc("pagerank")).limit(args.top).collect()
+        for r in top:
+            print(f"{r.pagerank:.8f}  {r.vertex}")
+    elif args.algorithm == "wcc":
+        res = weakly_connected_components(g, checkpoint_dir=args.checkpoint_dir)
+        res.write.mode("overwrite").parquet(args.output)
+        print("components:", res.select("labels").distinct().count())
+    elif args.algorithm == "lpa":
+        res = label_propagation(g, checkpoint_dir=args.checkpoint_dir)
+        res.write.mode("overwrite").parquet(args.output)
+        print("communities:", res.select("labels").distinct().count())
+    else:
+        n = triangle_count(g)
+        spark.createDataFrame([(n,)], "triangles LONG").write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        print("triangles:", n)
+    print(f"done in {time.time() - t0:.1f}s -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Katz / HITS vs NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from conftest import load_csv_edges
+from linkgraph import Graph, KatzConvergenceError, hits, katz_centrality
+
+
+def _coo(g):
+    pdf = g.edges.toPandas()
+    return pdf["src"].values, pdf["dst"].values
+
+
+def oracle_katz(src, dst, V, alpha, beta, tol, max_iter):
+    c = np.zeros(V)
+    for _ in range(max_iter):
+        new = np.zeros(V)
+        np.add.at(new, dst, c[src])
+        new = alpha * new + beta
+        if np.abs(new - c).sum() < tol:
+            c = new
+            break
+        c = new
+    return c / np.sqrt((c * c).sum())
+
+
+def oracle_hits(src, dst, V, max_iter, tol):
+    h = np.full(V, 1.0 / V)
+    a = np.full(V, 1.0 / V)
+    for _ in range(max_iter):
+        a_new = np.zeros(V)
+        np.add.at(a_new, dst, h[src])
+        a_new /= a_new.sum() or 1.0
+        h_new = np.zeros(V)
+        np.add.at(h_new, src, a_new[dst])
+        h_new /= h_new.sum() or 1.0
+        d = np.abs(h_new - h).sum() + np.abs(a_new - a).sum()
+        h, a = h_new, a_new
+        if d < tol:
+            break
+    return h, a
+
+
+def test_katz_karate(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    V = g.number_of_vertices()
+    src, dst = _coo(g)
+    alpha = 1.0 / 34.0  # 1/(max total degree 17*2) as our degree() doubles undirected
+    dmax = max(np.bincount(np.concatenate([src]), minlength=V).max(), 1)
+    res = katz_centrality(g, alpha=0.02, tol=1e-9, max_iter=1000)
+    got = {r.vertex: r.katz_centrality for r in res.collect()}
+    exp = oracle_katz(src, dst, V, 0.02, 1.0, 1e-9, 1000)
+    for v in range(V):
+        assert abs(got[v] - exp[v]) < 1e-6
+
+
+def test_katz_divergence_raises(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    with pytest.raises(KatzConvergenceError):
+        katz_centrality(g, alpha=0.9, tol=1e-12, max_iter=5)
+
+
+def test_hits_asymmetric(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate-asymmetric.csv"),
+        weight="weight",
+        renumber=False,
+        directed=True,
+    )
+    V = g.number_of_vertices()
+    src, dst = _coo(g)
+    res = hits(g, max_iter=50, tol=1e-8)
+    got = {r.vertex: (r.hubs, r.authorities) for r in res.collect()}
+    h, a = oracle_hits(src, dst, V, 50, 1e-8)
+    for v in range(V):
+        assert abs(got[v][0] - h[v]) < 1e-6
+        assert abs(got[v][1] - a[v]) < 1e-6

@@ -1,0 +1,114 @@
+"""Jaccard/Overlap/Sorensen + core-number/k-core + ego graph + hypergraph."""
+
+import pyspark.sql.functions as F
+
+from conftest import load_csv_edges
+from linkgraph import (
+    Graph,
+    batched_ego_graphs,
+    core_number,
+    ego_graph,
+    hypergraph,
+    jaccard,
+    k_core,
+    overlap,
+    sorensen,
+)
+
+
+def _nbrs(g):
+    adj = {}
+    for r in g.edges.collect():
+        if r.src != r.dst:
+            adj.setdefault(r.src, set()).add(r.dst)
+    return adj
+
+
+def test_similarity_coefficients_karate(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    adj = _nbrs(g)
+    jc = {(r.source, r.destination): r.jaccard_coeff for r in jaccard(g).collect()}
+    ov = {(r.source, r.destination): r.overlap_coeff for r in overlap(g).collect()}
+    so = {(r.source, r.destination): r.sorensen_coeff for r in sorensen(g).collect()}
+    assert len(jc) == 78  # one row per undirected edge (jaccard.py:35-42)
+    for (u, v), coeff in jc.items():
+        cn = len(adj[u] & adj[v])
+        union = len(adj[u]) + len(adj[v]) - cn
+        assert abs(coeff - (cn / union if union else 0.0)) < 1e-9
+        assert abs(ov[(u, v)] - (cn / min(len(adj[u]), len(adj[v])))) < 1e-9
+        assert abs(so[(u, v)] - (2 * cn / (len(adj[u]) + len(adj[v])))) < 1e-9
+
+
+def test_jaccard_explicit_pairs(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    pairs = spark.createDataFrame([(0, 33), (0, 1)], "first LONG, second LONG")
+    res = {(r.source, r.destination): r.jaccard_coeff for r in jaccard(g, pairs).collect()}
+    assert set(res) == {(0, 33), (0, 1)}
+    adj = _nbrs(g)
+    cn = len(adj[0] & adj[33])
+    assert abs(res[(0, 33)] - cn / (len(adj[0]) + len(adj[33]) - cn)) < 1e-9
+
+
+def test_core_number_karate(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    got = {r.vertex: r.core_number for r in core_number(g).collect()}
+    # networkx-known karate core numbers: max core = 4, vertices 0 and 33 in it
+    assert max(got.values()) == 4
+    assert got[0] == 4 and got[33] == 4
+    assert got[9] == 2  # known 2-core member
+    # k_core subgraph only contains vertices with core >= k
+    sub = k_core(g, k=4)
+    members = {
+        r.src for r in sub.edges.collect()
+    } | {r.dst for r in sub.edges.collect()}
+    assert members == {v for v, c in got.items() if c >= 4}
+
+
+def test_core_number_isolated_zero(spark):
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src LONG, dst LONG")
+    v = spark.createDataFrame([(0,), (1,), (2,), (9,)], "vertex LONG")
+    g = Graph.from_edgelist(e, renumber=True, directed=False, vertices=v)
+    got = {r.vertex: r.core_number for r in core_number(g).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 9: 0}
+
+
+def test_ego_graph(spark):
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4)], "src LONG, dst LONG"
+    )
+    g = Graph.from_edgelist(e, renumber=False, directed=True)
+    ball = {(r.seed, r.vertex): r.distance for r in batched_ego_graphs(g, [0], radius=2).collect()}
+    assert ball == {(0, 0): 0, (0, 1): 1, (0, 4): 1, (0, 2): 2}
+    sub = ego_graph(g, 0, radius=1)
+    got = {(r.src, r.dst) for r in sub.edges.collect()}
+    assert got == {(0, 1), (0, 4)}
+    multi = batched_ego_graphs(g, [0, 2], radius=1)
+    assert multi.filter(F.col("seed") == 2).count() == 2  # {2, 3}
+
+
+def test_hypergraph_bipartite_and_direct(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x")], "id LONG, u STRING, w STRING"
+    )
+    hg = hypergraph(df, columns=["u", "w"], event_id_col="id")
+    edges = {(r.src, r.dst) for r in hg["edges"].collect()}
+    assert edges == {
+        ("event::1", "u::a"),
+        ("event::1", "w::x"),
+        ("event::2", "u::b"),
+        ("event::2", "w::x"),
+    }
+    ents = {(r.node_id, r.category) for r in hg["entities"].collect()}
+    assert ("u::a", "u") in ents and ("w::x", "w") in ents
+    direct = hypergraph(df, columns=["u", "w"], direct=True, event_id_col="id")
+    dedges = {(r.src, r.dst) for r in direct["edges"].collect()}
+    assert dedges == {("u::a", "w::x"), ("u::b", "w::x")}
+    # the bipartite edge list is a valid Graph input
+    g = Graph.from_edgelist(hg["edges"], renumber=True, directed=False)
+    assert g.number_of_vertices() == 5

@@ -1,0 +1,148 @@
+"""Dedup tiers, text analysis, and ANN similarity search."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from linkgraph import (
+    cosine_topk,
+    exact_dedup,
+    language_id,
+    lsh_cosine_topk,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    quality_metrics,
+    simhash_near_pairs,
+    simhash_signatures,
+    token_count,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from a distance near the old mill"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near_dup = BASE.replace("quietly", "silently")  # ~1 token of ~25 changed
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [
+        (0, BASE),
+        (1, BASE),              # exact dup of 0
+        (2, near_dup),          # near dup of 0
+        (3, "der hund und der mann und der wagen und der baum gehen weit"),
+        (4, "les chats et les chiens et les oiseaux vont tres loin ensemble"),
+    ]
+    for i in range(5, 25):
+        rows.append((i, " ".join(rng.choice(vocab, size=30))))
+    # long near-dup pair for simhash: 1 token changed out of 200 unique
+    long_doc = " ".join(f"w{i:03d}" for i in range(200))
+    rows.append((30, long_doc))
+    rows.append((31, long_doc.replace("w100", "zzz")))
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING").cache()
+
+
+def test_exact_dedup(docs):
+    res = {r.doc_id: r.keep for r in exact_dedup(docs).collect()}
+    assert res[0] is True and res[1] is False  # min id kept
+    assert res[2] is True  # near dup is NOT an exact dup
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(a >= 3 and b >= 3 and a < 5 for a, b in pairs)  # 3,4 unrelated
+
+
+def test_minhash_dedup_clusters(docs):
+    res = {r.doc_id: (r.cluster, r.keep) for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert len(res) == 27
+    assert res[30] == (30, True) and res[31] == (30, False)  # near-dup pair
+    # 0,1,2 one cluster with representative 0
+    assert res[0] == (0, True)
+    assert res[1] == (0, False)
+    assert res[2] == (0, False)
+    # unrelated docs are their own clusters
+    assert res[3] == (3, True) and res[4] == (4, True)
+
+
+def test_minhash_deterministic(docs):
+    a = sorted((r.doc_id, r.cluster) for r in minhash_dedup(docs, threshold=0.5).collect())
+    b = sorted((r.doc_id, r.cluster) for r in minhash_dedup(docs, threshold=0.5).collect())
+    assert a == b
+
+
+def test_simhash_near_pairs(docs):
+    sigs = simhash_signatures(docs)
+    assert sigs.count() == 27
+    same = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert same[0] == same[1]  # identical text -> identical simhash
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(sigs, max_hamming=6).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (30, 31) in pairs  # 1-token-in-200 near dup has small hamming
+
+
+def test_text_analysis_ops(docs, spark):
+    tc = docs.select("doc_id", token_count("text").alias("n")).collect()
+    base_tokens = len(BASE.split(" "))
+    got = {r.doc_id: r.n for r in tc}
+    assert got[0] == base_tokens
+    lid = {r.doc_id: r.lang for r in docs.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert lid[0] == "en" and lid[3] == "de" and lid[4] == "fr"
+    q = quality_metrics(docs)
+    row = {r.doc_id: r for r in q.collect()}[0]
+    assert row.n_tokens == base_tokens and row.is_low_quality is False
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    # 4 well-separated clusters of 25 vectors each
+    centers = rng.standard_normal((4, 32)) * 5
+    rows = []
+    for i in range(100):
+        v = centers[i % 4] + rng.standard_normal(32) * 0.1
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>").cache()
+
+
+def _numpy_topk(emb_rows, qid, k):
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb_rows}
+    q = vecs[qid]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items()
+        if i != qid
+    }
+    return sorted(sims, key=lambda i: (-sims[i], i))[:k]
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    res = cosine_topk(emb, queries, k=5)
+    rows = emb.collect()
+    for qid in range(3):
+        got = [
+            r.neighbor_id
+            for r in sorted(
+                res.filter(F.col("query_id") == qid).collect(), key=lambda r: r.rnk
+            )
+        ]
+        exp = _numpy_topk(rows, qid, 5)
+        # same cluster membership; exact order can differ on fp ties
+        assert set(got) == set(exp)
+        assert all(n % 4 == qid % 4 for n in got)  # neighbors from same cluster
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_cosine_topk(emb, queries, k=5, nbits=8)
+    rows_e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows_a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(rows_e & rows_a) / len(rows_e)
+    assert recall >= 0.8, f"LSH recall {recall}"
