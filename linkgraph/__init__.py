@@ -28,6 +28,16 @@ from .algorithms.hits import hits
 from .algorithms.link_prediction import jaccard, overlap, sorensen
 from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
+from .algorithms.ktruss import k_truss, ktruss_subgraph
+from .algorithms.random_walks import random_walks
+from .multimodal import (
+    audio_features,
+    decode_image_stats,
+    generate_media,
+    resize_images,
+    sample_video_frames,
+)
+from .streaming import stream_hourly_event_rollup, stream_pages_to_edges
 from .similarity import cosine_topk, hyperplane_signatures, lsh_cosine_topk
 from .text.analysis import (
     bpe_ish_token_count,
@@ -58,19 +68,24 @@ __all__ = [
     "build_number_map",
     "connected_components",
     "core_number",
+    "audio_features",
     "cosine_topk",
+    "decode_image_stats",
     "ego_graph",
     "exact_dedup",
     "extract_links",
     "extract_text",
     "filter_unreachable",
     "fingerprint",
+    "generate_media",
     "generate_pages",
     "get_spark",
     "hits",
     "hypergraph",
     "hyperplane_signatures",
     "jaccard",
+    "k_truss",
+    "ktruss_subgraph",
     "k_core",
     "katz_centrality",
     "label_propagation",
@@ -84,6 +99,7 @@ __all__ = [
     "pagerank",
     "pages_to_edges",
     "quality_metrics",
+    "random_walks",
     "renumber_edges",
     "rmat_edges",
     "shortest_path_length",
@@ -91,6 +107,10 @@ __all__ = [
     "simhash_signatures",
     "sorensen",
     "sssp",
+    "stream_hourly_event_rollup",
+    "stream_pages_to_edges",
+    "sample_video_frames",
+    "resize_images",
     "symmetrize_edges",
     "token_count",
     "triangle_count",

@@ -753,3 +753,80 @@ QUERIES.update(
 # queries exercised by pytest oracles instead of SQL (randomized internals:
 # hash permutations / hyperplanes, or loop-carried peeling)
 NO_ORACLE = {"core_number", "doc_minhash_dedup", "emb_lsh_topk"}
+
+
+# --- round-1 late additions: k-truss (unrolled-peeling oracle), plus
+# rows-only random walks and multimodal decode coverage ---
+
+from .algorithms.ktruss import ktruss_subgraph as _ktruss  # noqa: E402
+
+KTRUSS_K, KTRUSS_ORACLE_ROUNDS = 4, 6
+
+
+def q_ktruss(spark, sf_dir):
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    sub = _ktruss(g, KTRUSS_K)
+    return sub.edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def _ktruss_oracle() -> str:
+    need = KTRUSS_K - 2
+    parts = [
+        f"WITH raw AS ({SUPPLY_EDGES_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        "greatest(src, dst) AS dst FROM raw)",
+    ]
+    for k in range(1, KTRUSS_ORACLE_ROUNDS + 1):
+        p = f"e{k-1}"
+        parts.append(
+            f"sup{k} AS MATERIALIZED (SELECT src, dst, count(*) AS sup FROM ("
+            f"SELECT ab.src, ab.dst FROM {p} ab JOIN {p} bc ON ab.dst = bc.src "
+            f"JOIN {p} ac ON ac.src = ab.src AND ac.dst = bc.dst "
+            f"UNION ALL "
+            f"SELECT ab.dst AS src, bc.dst AS dst FROM {p} ab JOIN {p} bc ON ab.dst = bc.src "
+            f"JOIN {p} ac ON ac.src = ab.src AND ac.dst = bc.dst "
+            f"UNION ALL "
+            f"SELECT ac.src, ac.dst FROM {p} ab JOIN {p} bc ON ab.dst = bc.src "
+            f"JOIN {p} ac ON ac.src = ab.src AND ac.dst = bc.dst "
+            f") t GROUP BY src, dst)"
+        )
+        parts.append(
+            f"e{k} AS MATERIALIZED (SELECT e.src, e.dst FROM {p} e "
+            f"JOIN sup{k} s ON e.src = s.src AND e.dst = s.dst WHERE s.sup >= {need})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT src, dst FROM e{KTRUSS_ORACLE_ROUNDS}"
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    from .algorithms.random_walks import random_walks
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return random_walks(g, [0, 1, 2, 3, 4], max_depth=4).select(
+        "walk_id", "step", "vertex"
+    )
+
+
+def q_media_image_stats(spark, sf_dir):
+    from .multimodal import decode_image_stats, generate_media
+
+    media = generate_media(spark, 90, seed=42)
+    return decode_image_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_r") * 100).cast("long").alias("mean_r_e2"),
+    )
+
+
+ORACLES["ktruss"] = _ktruss_oracle()
+QUERIES.update(
+    {
+        "ktruss": q_ktruss,
+        "random_walks": q_random_walks,
+        "media_image_stats": q_media_image_stats,
+    }
+)
+NO_ORACLE |= {"random_walks", "media_image_stats"}

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing, random walks, k-truss."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import load_csv_edges
+from linkgraph import Graph
+from linkgraph.algorithms.ktruss import ktruss_subgraph
+from linkgraph.algorithms.random_walks import random_walks
+from linkgraph.multimodal import (
+    audio_features,
+    decode_image_stats,
+    generate_media,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = generate_media(spark, 60, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.count() == 60
+    kinds = {r.kind: r.cnt for r in media.groupBy("kind").agg(F.count("*").alias("cnt")).collect()}
+    assert kinds == {"image": 20, "audio": 20, "video": 20}
+    again = generate_media(spark, 60, seed=42)
+    a = sorted((r.media_id, bytes(r.data)) for r in media.collect())
+    b = sorted((r.media_id, bytes(r.data)) for r in again.collect())
+    assert a == b
+    # typed metadata matches the payload
+    row = media.filter("kind = 'image'").first()
+    assert row.meta.width is not None and row.meta.codec == "fakeimg"
+
+
+def test_decode_image_stats(media):
+    stats = decode_image_stats(media).collect()
+    assert len(stats) == 20
+    for r in stats:
+        assert r.width > 0 and r.height > 0
+        assert 100 < r.mean_r < 160  # uniform bytes -> mean ~127.5
+
+
+def test_resize_images(media):
+    thumbs = resize_images(media, size=8).collect()
+    assert len(thumbs) == 20
+    assert all(len(r.thumb) == 64 for r in thumbs)
+    assert all(0 <= v <= 255 for v in thumbs[0].thumb)
+
+
+def test_video_frame_sampling(media):
+    frames = sample_video_frames(media, every=2)
+    rows = frames.collect()
+    assert {r.media_id % 3 for r in rows} == {2}  # only video rows
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_audio_features(media):
+    feats = audio_features(media).collect()
+    assert len(feats) == 20
+    assert all(r.sample_rate == 16000 and r.rms > 0 for r in feats)
+
+
+def test_decode_strict_stub_raises(spark):
+    """The real-codec boundary is a clearly-marked NotImplementedError."""
+    bad = spark.createDataFrame(
+        [(0, "image", bytearray(b"\x89PNG....."), (1, 1, None, None, "png"))],
+        "media_id LONG, kind STRING, data BINARY, "
+        "meta STRUCT<width:INT,height:INT,frames:INT,sample_rate:INT,codec:STRING>",
+    )
+    with pytest.raises(Exception) as ei:
+        decode_image_stats(bad, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "unavailable" in str(ei.value)
+
+
+def test_random_walks(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    res = random_walks(g, [0, 1, 2], max_depth=5)
+    rows = res.collect()
+    paths = {}
+    for r in rows:
+        paths.setdefault(r.walk_id, {})[r.step] = r.vertex
+    assert set(paths) == {0, 1, 2}
+    adj = {}
+    for e in g.edges.collect():
+        adj.setdefault(e.src, set()).add(e.dst)
+    for wid, p in paths.items():
+        assert p[0] == [0, 1, 2][wid]
+        for s in range(1, max(p) + 1):
+            assert p[s] in adj[p[s - 1]], "walk must follow edges"
+    # determinism across runs
+    again = {(r.walk_id, r.step): r.vertex for r in random_walks(g, [0, 1, 2], max_depth=5).collect()}
+    assert again == {(r.walk_id, r.step): r.vertex for r in rows}
+
+
+def test_random_walks_sink_truncation(spark):
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src LONG, dst LONG")
+    g = Graph.from_edgelist(e, renumber=False, directed=True)
+    res = {(r.walk_id, r.step): r.vertex for r in random_walks(g, [0], max_depth=9).collect()}
+    assert res == {(0, 0): 0, (0, 1): 1, (0, 2): 2}  # truncated at sink
+
+
+def oracle_ktruss(edges, k):
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    changed = True
+    while changed and es:
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        keep = {
+            (u, v) for (u, v) in es if len(adj[u] & adj[v]) >= k - 2
+        }
+        changed = keep != es
+        es = keep
+    return es
+
+
+def test_ktruss_karate(spark):
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False, directed=False
+    )
+    raw = [(r.src, r.dst) for r in g.edges.collect()]
+    for k in (3, 4, 5):
+        expected = oracle_ktruss(raw, k)
+        sub = ktruss_subgraph(g, k)
+        got = {(r.src, r.dst) for r in sub.edges.collect() if r.src < r.dst}
+        assert got == expected, f"k={k}"
+
+
+def test_ktruss_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src LONG, dst LONG")
+    dg = Graph.from_edgelist(e, renumber=False, directed=True)
+    with pytest.raises(ValueError):
+        ktruss_subgraph(dg, 3)
+    ug = Graph.from_edgelist(e, renumber=False, directed=False)
+    with pytest.raises(ValueError):
+        ktruss_subgraph(ug, 2)
