@@ -25,11 +25,20 @@ from .algorithms.triangles import triangle_count
 from .algorithms.traversal import bfs, filter_unreachable, shortest_path_length, sssp
 from .algorithms.katz import KatzConvergenceError, katz_centrality
 from .algorithms.hits import hits
-from .algorithms.link_prediction import jaccard, overlap, sorensen
+from .algorithms.link_prediction import (
+    jaccard,
+    jaccard_w,
+    overlap,
+    overlap_w,
+    sorensen,
+    sorensen_w,
+)
 from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
 from .algorithms.random_walks import random_walks
+from .algorithms.scc import strongly_connected_components
+from .algorithms.mst import maximum_spanning_tree, minimum_spanning_tree
 from .multimodal import (
     audio_features,
     decode_image_stats,
@@ -84,6 +93,7 @@ __all__ = [
     "hypergraph",
     "hyperplane_signatures",
     "jaccard",
+    "jaccard_w",
     "k_truss",
     "ktruss_subgraph",
     "k_core",
@@ -96,6 +106,9 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "overlap",
+    "overlap_w",
+    "maximum_spanning_tree",
+    "minimum_spanning_tree",
     "pagerank",
     "pages_to_edges",
     "quality_metrics",
@@ -106,6 +119,8 @@ __all__ = [
     "simhash_near_pairs",
     "simhash_signatures",
     "sorensen",
+    "sorensen_w",
+    "strongly_connected_components",
     "sssp",
     "stream_hourly_event_rollup",
     "stream_pages_to_edges",

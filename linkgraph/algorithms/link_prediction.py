@@ -93,3 +93,77 @@ def sorensen(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
     denom = F.col("deg_first") + F.col("deg_second")
     coeff = F.when(denom > 0, 2.0 * F.col("cn") / denom).otherwise(F.lit(0.0))
     return _finish(graph, d, coeff, "sorensen_coeff")
+
+
+# --- weighted variants (jaccard_w / overlap_w / sorensen_w) -----------------
+# Reference: link_prediction/wjaccard.py / woverlap.py / wsorensen.py —
+# per-VERTEX weights; coefficient = sum of weights over the neighbor-set
+# intersection vs union / min-set / sum-of-sets.
+
+
+def _pair_weighted(graph: Graph, weights: DataFrame, vertex_pair: DataFrame | None):
+    edges = graph.edges.select("src", "dst")
+    if graph.directed:
+        edges = symmetrize_edges(edges, weight=None, symmetrize=True)
+    edges = edges.filter(F.col("src") != F.col("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wtab = weights.select(
+        F.col("vertex").alias("nbr"), F.col("weight").cast("double").alias("wv")
+    )
+    if vertex_pair is None:
+        pairs = upper_triangle(edges).select(
+            F.col("src").alias("first"), F.col("dst").alias("second")
+        )
+    else:
+        pairs = vertex_pair.select("first", "second")
+    a = edges.select(F.col("src").alias("first"), F.col("dst").alias("nbr"))
+    b = edges.select(F.col("src").alias("second"), F.col("dst").alias("nbr"))
+    inter = (
+        pairs.join(a, on="first")
+        .join(b, on=["second", "nbr"], how="leftsemi")
+        .join(wtab, on="nbr")
+        .groupBy("first", "second")
+        .agg(F.sum("wv").alias("w_inter"))
+    )
+    setw = (
+        edges.join(wtab, on=F.col("dst") == F.col("nbr"))
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(F.sum("wv").alias("w_set"))
+    )
+    return (
+        pairs.join(inter, on=["first", "second"], how="left")
+        .fillna(0.0, subset=["w_inter"])
+        .join(
+            setw.select(F.col("vertex").alias("first"), F.col("w_set").alias("wa")),
+            on="first",
+            how="left",
+        )
+        .join(
+            setw.select(F.col("vertex").alias("second"), F.col("w_set").alias("wb")),
+            on="second",
+            how="left",
+        )
+        .fillna(0.0, subset=["wa", "wb"])
+    )
+
+
+def jaccard_w(graph: Graph, weights: DataFrame, vertex_pair: DataFrame | None = None) -> DataFrame:
+    d = _pair_weighted(graph, weights, vertex_pair)
+    denom = F.col("wa") + F.col("wb") - F.col("w_inter")
+    coeff = F.when(denom > 0, F.col("w_inter") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "jaccard_coeff")
+
+
+def overlap_w(graph: Graph, weights: DataFrame, vertex_pair: DataFrame | None = None) -> DataFrame:
+    d = _pair_weighted(graph, weights, vertex_pair)
+    denom = F.least("wa", "wb")
+    coeff = F.when(denom > 0, F.col("w_inter") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "overlap_coeff")
+
+
+def sorensen_w(graph: Graph, weights: DataFrame, vertex_pair: DataFrame | None = None) -> DataFrame:
+    d = _pair_weighted(graph, weights, vertex_pair)
+    denom = F.col("wa") + F.col("wb")
+    coeff = F.when(denom > 0, 2.0 * F.col("w_inter") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "sorensen_coeff")
