@@ -38,6 +38,13 @@ from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
 from .algorithms.random_walks import random_walks
 from .algorithms.scc import strongly_connected_components
+from .algorithms.betweenness import betweenness_centrality
+from .algorithms.clustering_metrics import (
+    analyze_clustering_edge_cut,
+    analyze_clustering_modularity,
+    analyze_clustering_ratio_cut,
+)
+from .structure.graph import from_numpy_array, from_pandas_edgelist
 from .algorithms.mst import maximum_spanning_tree, minimum_spanning_tree
 from .multimodal import (
     audio_features,
@@ -72,6 +79,10 @@ __all__ = [
     "NumberMap",
     "PageRankConvergenceError",
     "batched_ego_graphs",
+    "analyze_clustering_edge_cut",
+    "analyze_clustering_modularity",
+    "analyze_clustering_ratio_cut",
+    "betweenness_centrality",
     "bfs",
     "bpe_ish_token_count",
     "build_number_map",
@@ -85,6 +96,8 @@ __all__ = [
     "extract_links",
     "extract_text",
     "filter_unreachable",
+    "from_numpy_array",
+    "from_pandas_edgelist",
     "fingerprint",
     "generate_media",
     "generate_pages",

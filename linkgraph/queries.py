@@ -830,3 +830,53 @@ QUERIES.update(
     }
 )
 NO_ORACLE |= {"random_walks", "media_image_stats"}
+
+
+# --- clustering-quality metrics over a deterministic labeling ---------------
+
+def q_clustering_metrics(spark, sf_dir):
+    from .algorithms.clustering_metrics import (
+        analyze_clustering_edge_cut,
+        analyze_clustering_modularity,
+        analyze_clustering_ratio_cut,
+    )
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    labels = g.vertices().select("vertex", (F.col("vertex") % 10).alias("labels"))
+    q = analyze_clustering_modularity(g, labels)
+    cut = analyze_clustering_edge_cut(g, labels)
+    rc = analyze_clustering_ratio_cut(g, labels)
+    return spark.createDataFrame(
+        [(int(round(q * 1e9)), int(round(cut * 100)), int(round(rc * 1e6)))],
+        "modularity_e9 LONG, edge_cut_e2 LONG, ratio_cut_e6 LONG",
+    )
+
+
+ORACLES["clustering_metrics"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+    ut AS (SELECT src, dst, 1.0 AS w, src % 10 AS c_src, dst % 10 AS c_dst
+           FROM sym WHERE src <= dst),
+    m AS (SELECT sum(w) AS m FROM ut),
+    inside AS (SELECT c_src AS c, sum(w) AS in_w FROM ut WHERE c_src = c_dst GROUP BY c_src),
+    tot AS (SELECT c, sum(w) AS tot_w FROM
+            (SELECT c_src AS c, w FROM ut UNION ALL SELECT c_dst AS c, w FROM ut) t
+            GROUP BY c),
+    univ AS (SELECT unnest(generate_series(0, (SELECT max(greatest(src,dst)) FROM raw))) AS v),
+    sizes AS (SELECT v % 10 AS c, count(*) AS n FROM univ GROUP BY v % 10),
+    cutper AS (SELECT c, sum(w) AS cut_w FROM
+               (SELECT c_src AS c, w FROM ut WHERE c_src <> c_dst
+                UNION ALL SELECT c_dst AS c, w FROM ut WHERE c_src <> c_dst) t
+               GROUP BY c),
+    q AS (SELECT sum(coalesce(i.in_w, 0.0) / (SELECT m FROM m)
+                 - (t.tot_w / (2.0 * (SELECT m FROM m))) * (t.tot_w / (2.0 * (SELECT m FROM m)))) AS q
+          FROM tot t LEFT JOIN inside i ON t.c = i.c),
+    cut AS (SELECT coalesce(sum(w), 0.0) AS cut FROM ut WHERE c_src <> c_dst),
+    rc AS (SELECT sum(coalesce(cp.cut_w, 0.0) / s.n) AS rc
+           FROM sizes s LEFT JOIN cutper cp ON s.c = cp.c)
+    SELECT CAST(round((SELECT q FROM q) * 1e9) AS BIGINT) AS modularity_e9,
+           CAST(round((SELECT cut FROM cut) * 100) AS BIGINT) AS edge_cut_e2,
+           CAST(round((SELECT rc FROM rc) * 1e6) AS BIGINT) AS ratio_cut_e6
+"""
+QUERIES["clustering_metrics"] = q_clustering_metrics

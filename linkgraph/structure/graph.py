@@ -236,3 +236,39 @@ class Graph:
         if not self.renumbered:
             return df
         return self.nmap.unrenumber(df, col)
+
+
+# --- host-side construction conveniences (graph_classes.py:256-366) ----------
+
+def from_pandas_edgelist(
+    spark,
+    pdf,
+    source: str = "src",
+    destination: str = "dst",
+    edge_attr: str | None = None,
+    directed: bool = False,
+    renumber: bool = True,
+) -> Graph:
+    """Reference: from_pandas_edgelist — createDataFrame then from_edgelist."""
+    sdf = spark.createDataFrame(pdf)
+    return Graph.from_edgelist(
+        sdf, src=source, dst=destination, weight=edge_attr,
+        directed=directed, renumber=renumber,
+    )
+
+
+def from_numpy_array(spark, arr, directed: bool = False, renumber: bool = False) -> Graph:
+    """Reference: from_numpy_array — dense adjacency matrix -> nonzero COO
+    (graph_classes.py:313-341)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError("adjacency matrix must be square")
+    src, dst = np.nonzero(a)
+    w = a[src, dst].astype(float)
+    rows = [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w)]
+    sdf = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    return Graph.from_edgelist(
+        sdf, weight="weight", directed=directed, renumber=renumber
+    )

@@ -112,3 +112,42 @@ def test_hypergraph_bipartite_and_direct(spark):
     # the bipartite edge list is a valid Graph input
     g = Graph.from_edgelist(hg["edges"], renumber=True, directed=False)
     assert g.number_of_vertices() == 5
+
+
+def test_clustering_metrics(spark):
+    """Modularity / edge-cut / ratio-cut vs hand-computed values on two
+    triangles joined by one bridge edge."""
+    from linkgraph.algorithms.clustering_metrics import (
+        analyze_clustering_edge_cut,
+        analyze_clustering_modularity,
+        analyze_clustering_ratio_cut,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "src LONG, dst LONG",
+    )
+    g = Graph.from_edgelist(e, renumber=False, directed=False)
+    labels = spark.createDataFrame(
+        [(v, 0 if v < 3 else 1) for v in range(6)], "vertex LONG, labels LONG"
+    )
+    # m=7; in_0=in_1=3; tot_0 = 2*3+1 = 7, tot_1 = 7
+    exp_q = 2 * (3 / 7 - (7 / 14) ** 2)
+    assert abs(analyze_clustering_modularity(g, labels) - exp_q) < 1e-9
+    assert analyze_clustering_edge_cut(g, labels) == 1.0
+    assert abs(analyze_clustering_ratio_cut(g, labels) - (1 / 3 + 1 / 3)) < 1e-9
+
+
+def test_from_pandas_and_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.structure.graph import from_numpy_array, from_pandas_edgelist
+
+    pdf = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "w": [1.0, 2.0]})
+    g = from_pandas_edgelist(spark, pdf, edge_attr="w", directed=True, renumber=False)
+    assert g.number_of_edges() == 2 and g.weighted
+    a = np.array([[0, 1.0], [2.0, 0]])
+    g2 = from_numpy_array(spark, a, directed=True)
+    got = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
+    assert got == {(0, 1): 1.0, (1, 0): 2.0}
