@@ -39,6 +39,7 @@ from .algorithms.ktruss import k_truss, ktruss_subgraph
 from .algorithms.random_walks import random_walks
 from .algorithms.scc import strongly_connected_components
 from .algorithms.betweenness import betweenness_centrality
+from .algorithms.louvain import louvain
 from .algorithms.clustering_metrics import (
     analyze_clustering_edge_cut,
     analyze_clustering_modularity,
@@ -113,6 +114,7 @@ __all__ = [
     "katz_centrality",
     "label_propagation",
     "language_id",
+    "louvain",
     "lsh_cosine_topk",
     "minhash_dedup",
     "minhash_lsh_candidates",

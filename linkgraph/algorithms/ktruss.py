@@ -35,7 +35,7 @@ def ktruss_subgraph(graph: Graph, k: int, max_iter: int = 100) -> Graph:
         graph.edges.select("src", "dst")
         .filter(F.col("src") < F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)  # referenced 4x per support round
     )
     need = k - 2
     with no_aqe(spark):
@@ -58,7 +58,7 @@ def ktruss_subgraph(graph: Graph, k: int, max_iter: int = 100) -> Graph:
                 e.join(support, on=["src", "dst"], how="left")
                 .filter(F.coalesce(F.col("sup"), F.lit(0)) >= need)
                 .select("src", "dst")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)  # referenced 4x next round
             )
             n_before, n_after = e.count(), kept.count()
             e = kept

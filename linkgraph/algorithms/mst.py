@@ -32,10 +32,10 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
     edges = graph.edges.select("src", "dst", "weight")
     if graph.directed:
         edges = symmetrize_edges(edges, weight="weight", symmetrize=True)
-    edges = edges.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
+    edges = edges.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
 
     comp = (
-        graph.vertices().select("vertex", F.col("vertex").alias("c")).localCheckpoint(eager=False)
+        graph.vertices().select("vertex", F.col("vertex").alias("c")).localCheckpoint(eager=True)
     )
     chosen = None
     with no_aqe(spark):
@@ -82,7 +82,7 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
                 .select("e.*")
                 .select("lo", "hi", "weight", "c_src", "c_dst")
                 .distinct()
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
             new_edges = pick.select(
                 F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
@@ -91,17 +91,17 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
                 new_edges
                 if chosen is None
                 else chosen.unionByName(new_edges).distinct()
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=True)
             # merge components: min-label propagation over picked comp pairs
             merge = pick.select(
                 F.col("c_src").alias("a"), F.col("c_dst").alias("b")
             )
             merge = merge.unionByName(
                 merge.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=True)
             labels = comp.select(F.col("c").alias("a")).distinct().select(
                 "a", F.col("a").alias("l")
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=True)
             while True:
                 msgs = (
                     merge.join(labels.select(F.col("a"), F.col("l")), on="a")
@@ -116,7 +116,7 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
                         F.least(F.col("l"), F.coalesce(F.col("m"), F.col("l"))).alias("l"),
                         (F.col("m") < F.col("l")).alias("ch"),
                     )
-                    .localCheckpoint(eager=False)
+                    .localCheckpoint(eager=True)
                 )
                 changed = new_l.filter(F.col("ch")).count()
                 labels = new_l.select("a", "l")
@@ -125,7 +125,7 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
             comp = (
                 comp.join(labels.withColumnRenamed("a", "c"), on="c")
                 .select("vertex", F.col("l").alias("c"))
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
     if chosen is None:
         chosen = edges.select("src", "dst", "weight").limit(0)

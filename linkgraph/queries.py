@@ -880,3 +880,15 @@ ORACLES["clustering_metrics"] = f"""
            CAST(round((SELECT rc FROM rc) * 1e6) AS BIGINT) AS ratio_cut_e6
 """
 QUERIES["clustering_metrics"] = q_clustering_metrics
+
+
+def q_louvain(spark, sf_dir):
+    from .algorithms.louvain import louvain as _louvain
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    res, _q = _louvain(g)
+    return res.select("vertex", "partition")
+
+
+QUERIES["louvain"] = q_louvain
+NO_ORACLE.add("louvain")

@@ -53,10 +53,10 @@ def test_every_query_has_oracle():
     assert not missing, f"queries without oracle SQL: {missing}"
 
 
-@pytest.mark.parametrize(
-    "name",
-    sorted({"core_number", "doc_minhash_dedup", "emb_lsh_topk", "random_walks", "media_image_stats"}),
-)
+from linkgraph.queries import NO_ORACLE as _NO_ORACLE
+
+
+@pytest.mark.parametrize("name", sorted(_NO_ORACLE))
 def test_rows_only_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() > 0
