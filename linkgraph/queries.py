@@ -892,3 +892,50 @@ def q_louvain(spark, sf_dir):
 
 QUERIES["louvain"] = q_louvain
 NO_ORACLE.add("louvain")
+
+
+# --- SSSP with an unrolled Bellman-Ford oracle (integer-valued weights) ------
+
+SSSP_ORACLE_ROUNDS = 30
+WEIGHTED_SUPPLY_SQL = (
+    f"SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM ({SUPPLY_EDGES_SQL}) t"
+)
+
+
+def q_sssp(spark, sf_dir):
+    from .algorithms.traversal import sssp as _sssp
+
+    e = supply_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double").alias("weight")
+    )
+    g = Graph.from_edgelist(e, weight="weight", directed=True, renumber=False)
+    return _sssp(g, 0).select(
+        "vertex", F.col("distance").cast("long").alias("dist_i")
+    )
+
+
+def _sssp_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({WEIGHTED_SUPPLY_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "d0 AS MATERIALIZED (SELECT v, CASE WHEN v = 0 THEN CAST(0 AS DOUBLE) END AS d FROM univ)",
+    ]
+    for k in range(1, SSSP_ORACLE_ROUNDS + 1):
+        p = f"d{k-1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT b.v, CASE "
+            f"WHEN m.md IS NULL THEN b.d WHEN b.d IS NULL THEN m.md "
+            f"ELSE least(b.d, m.md) END AS d "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, min(p.d + e.w) AS md "
+            f"FROM edges e JOIN {p} p ON e.src = p.v WHERE p.d IS NOT NULL "
+            f"GROUP BY e.dst) m ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(d AS BIGINT) AS dist_i FROM d{SSSP_ORACLE_ROUNDS}"
+    )
+
+
+ORACLES["sssp"] = _sssp_oracle()
+QUERIES["sssp"] = q_sssp
