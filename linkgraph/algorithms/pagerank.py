@@ -63,7 +63,11 @@ class PageRankConvergenceError(RuntimeError):
     (pagerank_impl.cuh:274-275)."""
 
 
-BROADCAST_STATE_MAX_V = 2_000_000
+# Measured crossover on local[32] (median steady-state s/superstep):
+#   V=131k: broadcast 0.77 vs shuffle 1.31  -> broadcast wins
+#   V=262k: broadcast 1.07 vs shuffle 0.90  -> shuffle wins
+#   V=524k: broadcast ~3.5 vs shuffle ~1.2  -> shuffle wins clearly
+BROADCAST_STATE_MAX_V = 150_000
 
 
 @contextmanager
