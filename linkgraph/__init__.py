@@ -22,7 +22,13 @@ from .algorithms.pagerank import PageRankConvergenceError, pagerank
 from .algorithms.wcc import connected_components, weakly_connected_components
 from .algorithms.lpa import label_propagation
 from .algorithms.triangles import triangle_count
-from .algorithms.traversal import bfs, filter_unreachable, shortest_path_length, sssp
+from .algorithms.traversal import (
+    bfs,
+    filter_unreachable,
+    multi_source_bfs,
+    shortest_path_length,
+    sssp,
+)
 from .algorithms.katz import KatzConvergenceError, katz_centrality
 from .algorithms.hits import hits
 from .algorithms.link_prediction import (
@@ -117,6 +123,7 @@ __all__ = [
     "louvain",
     "lsh_cosine_topk",
     "minhash_dedup",
+    "multi_source_bfs",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",

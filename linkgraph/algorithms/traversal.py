@@ -199,3 +199,20 @@ def shortest_path_length(graph: Graph, source, target) -> float | None:
 def filter_unreachable(df: DataFrame) -> DataFrame:
     """traversal/sssp.py:filter_unreachable — drop null-distance rows."""
     return df.filter(F.col("distance").isNotNull())
+
+
+def multi_source_bfs(
+    graph: Graph,
+    sources: list,
+    depth_limit: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Batched BFS from several roots at once (traversal/ms_bfs.py:110-280's
+    capability): DF[seed, vertex, distance] — one BFS ball per source, all
+    expanding in the same supersteps (rows tagged by seed)."""
+    from .egonet import batched_ego_graphs
+
+    radius = depth_limit if depth_limit is not None else 2**31 - 1
+    return batched_ego_graphs(
+        graph, sources, radius=min(radius, 10_000), num_partitions=num_partitions
+    )
