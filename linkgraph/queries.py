@@ -459,8 +459,8 @@ ORACLES: dict[str, str] = {
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         pairs AS (
             SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   sum(CAST(round(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
-                     * CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS dot_q
+                   CAST(sum(CAST(round(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                     * CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot_q
             FROM q, embeddings b, generate_series(1, 64) AS t(i)
             WHERE b.vec_id <> q.vec_id
             GROUP BY q.vec_id, b.vec_id),
