@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import truncate_plan
 from ..structure.graph import Graph
-from .pagerank import no_aqe, pick_partitions
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def betweenness_centrality(
@@ -62,34 +63,54 @@ def betweenness_centrality(
     sources = sources.localCheckpoint(eager=False)
 
     # ---- forward: level-synchronous multi-source BFS with sigma counts ----
-    # state rows: (s, vertex, dist, sigma)
-    cur = sources.select(
-        "s", F.col("s").alias("vertex"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=False)
+    # state rows: (s, vertex, dist, sigma). Frontier/visited sizes gate
+    # broadcast vs co-partitioned joins — (source, vertex) state grows to
+    # k·V rows, never unconditionally broadcastable (VERDICT r1 item 4).
+    def _gate(df, n_rows, key):
+        if n_rows <= BROADCAST_STATE_MAX_V:
+            return F.broadcast(df)
+        return df.repartition(nparts, key) if key else df
+
+    cur = truncate_plan(
+        sources.select(
+            "s", F.col("s").alias("vertex"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
+        ),
+        eager=False,
+    )
     levels = [cur]
-    visited = cur.select("s", "vertex").localCheckpoint(eager=False)
+    level_rows = [k_eff]
+    n_visited = k_eff
+    visited = truncate_plan(cur.select("s", "vertex"), eager=False)
     depth = 0
     with no_aqe(spark):
         while True:
             depth += 1
             pushed = (
                 edges.join(
-                    F.broadcast(cur.select(F.col("vertex").alias("src"), "s", "sigma")),
+                    _gate(
+                        cur.select(F.col("vertex").alias("src"), "s", "sigma"),
+                        level_rows[-1],
+                        "src",
+                    ),
                     on="src",
                 )
                 .groupBy("s", F.col("dst").alias("vertex"))
                 .agg(F.sum("sigma").alias("sigma"))
             )
-            nxt = (
-                pushed.join(F.broadcast(visited), on=["s", "vertex"], how="left_anti")
-                .select("s", "vertex", F.lit(depth).alias("dist"), "sigma")
-                .localCheckpoint(eager=False)
+            nxt = truncate_plan(
+                pushed.join(
+                    _gate(visited, n_visited, None), on=["s", "vertex"], how="left_anti"
+                ).select("s", "vertex", F.lit(depth).alias("dist"), "sigma"),
+                eager=False,  # single consumer: the count below
             )
-            if nxt.limit(1).count() == 0:
+            n_new = nxt.count()
+            if n_new == 0:
                 break
             levels.append(nxt)
-            visited = visited.unionByName(nxt.select("s", "vertex")).localCheckpoint(
-                eager=False
+            level_rows.append(n_new)
+            n_visited += n_new
+            visited = truncate_plan(
+                visited.unionByName(nxt.select("s", "vertex")), eager=False
             )
             cur = nxt
 
@@ -107,23 +128,27 @@ def betweenness_centrality(
                 w_full = w_lvl.select("s", "vertex", "sigma", F.lit(0.0).alias("delta"))
             v_lvl = levels[lvl - 1]  # predecessors live exactly one level up
             # DAG edges v->w: edge (v,w) with dist(v)=lvl-1, dist(w)=lvl
-            contrib = (
+            contrib = truncate_plan(
                 edges.join(
-                    F.broadcast(
+                    _gate(
                         w_full.select(
                             F.col("vertex").alias("dst"),
                             "s",
                             F.col("sigma").alias("sigma_w"),
                             F.col("delta").alias("delta_w"),
-                        )
+                        ),
+                        level_rows[lvl],
+                        "dst",
                     ),
                     on="dst",
                 )
                 .join(
-                    F.broadcast(
+                    _gate(
                         v_lvl.select(
                             F.col("vertex").alias("src"), "s", F.col("sigma").alias("sigma_v")
-                        )
+                        ),
+                        level_rows[lvl - 1],
+                        None,
                     ),
                     on=["src", "s"],
                 )
@@ -132,8 +157,8 @@ def betweenness_centrality(
                     F.sum(
                         F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
                     ).alias("delta")
-                )
-                .localCheckpoint(eager=False)
+                ),
+                eager=True,  # consumed by next level's w_full join and lvl_acc
             )
             delta = contrib
             lvl_acc = (
@@ -142,8 +167,8 @@ def betweenness_centrality(
                 .agg(F.sum("delta").alias("bc"))
             )
             acc = lvl_acc if acc is None else acc.unionByName(lvl_acc)
-            acc = acc.groupBy("vertex").agg(F.sum("bc").alias("bc")).localCheckpoint(
-                eager=False
+            acc = truncate_plan(
+                acc.groupBy("vertex").agg(F.sum("bc").alias("bc")), eager=False
             )
         # level-0 deltas (sources themselves) are excluded by Brandes (w != s)
 
@@ -161,8 +186,11 @@ def betweenness_centrality(
             scale *= 1.0 / ((n - 1) * (n - 2))
         else:
             scale *= 2.0 / ((n - 1) * (n - 2))
-    if k_eff < n:
-        scale *= n / k_eff  # sampling rescale (reference/networkx estimate)
+    # sampling rescale, gated exactly like the reference kernel
+    # (betweenness_centrality.cu rescale_by_total_sources_used): only when
+    # normalized, or unnormalized on an undirected graph, and only for n > 2
+    if k_eff < n and n > 2 and (normalized or not graph.directed):
+        scale *= n / k_eff
     out = out.select(
         "vertex", (F.col("bc") * F.lit(scale)).alias("betweenness_centrality")
     )

@@ -17,9 +17,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import truncate_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
-from .pagerank import no_aqe, pick_partitions
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def batched_ego_graphs(
@@ -48,24 +49,41 @@ def batched_ego_graphs(
         seed_rows = list(zip(internal, internal))
     else:
         seed_rows = [(int(s), int(s)) for s in seeds]
-    visited = spark.createDataFrame(
-        [(s, v, 0) for s, v in seed_rows], "seed LONG, vertex LONG, distance LONG"
-    ).localCheckpoint(eager=False)
+    visited = truncate_plan(
+        spark.createDataFrame(
+            [(s, v, 0) for s, v in seed_rows], "seed LONG, vertex LONG, distance LONG"
+        ),
+        eager=False,
+    )
     frontier = visited
+    # frontier/visited row counts gate broadcast vs co-partitioned join: a
+    # radius-2 ball on a web graph is millions of rows per seed — never
+    # unconditionally broadcast BFS state (VERDICT r1 item 5)
+    n_front = n_visited = len(seed_rows)
     with no_aqe(spark):
         for depth in range(1, radius + 1):
             f_src = frontier.select("seed", F.col("vertex").alias("src"))
-            nxt = (
-                edges.join(F.broadcast(f_src), on="src")
+            f_src = (
+                F.broadcast(f_src)
+                if n_front <= BROADCAST_STATE_MAX_V
+                else f_src.repartition(nparts, "src")
+            )
+            v_keys = visited.select("seed", "vertex")
+            if n_visited <= BROADCAST_STATE_MAX_V:
+                v_keys = F.broadcast(v_keys)
+            nxt = truncate_plan(
+                edges.join(f_src, on="src")
                 .select("seed", F.col("dst").alias("vertex"))
                 .distinct()
-                .join(visited.select("seed", "vertex"), on=["seed", "vertex"], how="left_anti")
-                .select("seed", "vertex", F.lit(depth).cast("long").alias("distance"))
-                .localCheckpoint(eager=False)
+                .join(v_keys, on=["seed", "vertex"], how="left_anti")
+                .select("seed", "vertex", F.lit(depth).cast("long").alias("distance")),
+                eager=False,  # single consumer: the count below
             )
-            if nxt.limit(1).count() == 0:
+            n_front = nxt.count()
+            if n_front == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+            n_visited += n_front
+            visited = truncate_plan(visited.unionByName(nxt), eager=False)
             frontier = nxt
     out = visited
     if graph.renumbered:

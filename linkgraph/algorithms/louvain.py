@@ -4,26 +4,41 @@ Reference: community/louvain.py:21-92 (`louvain(G, max_iter, resolution)` →
 (DF[vertex, partition], modularity)); kernels cpp/src/community/
 louvain.cuh:52-607 — per-vertex argmax-over-neighbor-communities
 modularity-delta move (:68-72), alternating up/down tie-break to prevent
-parallel-move oscillation (:94-101), then graph coarsening by cluster and
-recursion over dendrogram levels (:157-181).
+parallel-move oscillation (:94-101), self-loop weight excluded from both
+cluster sums in the gain (:409-411 cluster_subtract), then graph coarsening
+by cluster and recursion over dendrogram levels (:157-181).
 
-This implementation mirrors those mechanics relationally:
+This implementation mirrors those mechanics relationally and is FULLY
+DISTRIBUTED — no V-row state ever touches the driver:
 
 - local-move superstep = the two-level key-aggregated reduce
   (copy_v_transform_reduce_key_aggregated_out_nbr, SURVEY §2.4):
-  ``groupBy(dst, community).sum(w)`` then argmax per dst via max(struct);
+  ``groupBy(dst, c_nbr).sum(w)`` builds k_{v,c}, then argmax per vertex via
+  ``max(struct(gain, -c))`` — the same window-free hash-agg shape as LPA
+  (lpa.py) so hub vertices never serialize into one window task;
 - gain formula (standard Louvain, resolution γ):
-      ΔQ(v: c_old → c) ∝ k_{v,c} − k_{v,c_old\\v} − γ·k_v·(Σ_c − Σ_{c_old\\v})/(2m)
-  a move happens only for strictly positive gain;
+      ΔQ(v: c_old → c) ∝ k_{v,c} − k_{v,c_old\\v} − γ·k_v·(Σ_c − (Σ_{c_old} − k_v))/(2m)
+  a move happens only for strictly positive gain. Self-loop weight is
+  excluded from k_{v,c} and k_{v,c_old\\v} (it moves with v and cancels),
+  but INCLUDED in k_v, Σ, and 2m — matching the reference's
+  cluster_subtract semantics (louvain.cuh:409-411);
 - parallel moves alternate an up/down pass (even iterations only allow
   moves to communities with id > current, odd ones to id <; exactly the
   reference's up_down switch) — this breaks two-vertex swap cycles and
   makes runs deterministic;
 - when a level's local moves stop improving, the graph is coarsened
   (edges ⋈ labels on both endpoints → groupBy(c_src, c_dst).sum(w),
-  the reference's coarsen_graph) and the next dendrogram level starts;
+  the reference's coarsen_graph; self-loops carried) and the next
+  dendrogram level starts;
 - returns (labels DataFrame, final modularity), labels flattened through
   all levels like the reference's flatten_dendrogram.
+
+Scale notes (100-TB design): all V-row state (labels, sigma, k_in) is
+broadcast only below BROADCAST_STATE_MAX_V, else co-partitioned shuffle
+joins; per-pass lineage is truncated by a lazy localCheckpoint materialized
+immediately by the single move-count action (the lazy-single-consumer rule
+— see docs/PLANS.md §6; eager checkpoints guard every table consumed by
+two branches of one job, the measured deadlock shape).
 
 Louvain output is not unique across implementations; tests pin a
 pure-Python oracle with these exact deterministic rules and additionally
@@ -32,81 +47,97 @@ check modularity quality on known graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..structure.graph import Graph
 from .clustering_metrics import analyze_clustering_modularity
-from .pagerank import no_aqe
+from ..plans import truncate_plan
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
+
+_EPS = 1e-12
 
 
-def _local_moves(spark, edges, verts_kv, n_verts, m2, resolution, max_inner):
-    """One dendrogram level. edges: (src,dst,w) symmetrized both directions,
-    no self loops. verts_kv: (vertex, k_v). Returns labels (vertex, c).
+def _local_moves(spark, edges_all, kv_df, n_verts, m2, resolution, max_inner, nparts):
+    """One dendrogram level, fully distributed.
 
-    Hybrid execution: the E-row work — k_{v,c} aggregation over the edge
-    table — stays distributed (join + map-side-combined hash agg); the
-    V-row bookkeeping (sigma totals, gain argmax) is vectorized pandas on
-    the driver. Rationale: a fully-DataFrame pass loop exhibited
-    exponential per-pass planning latency in Catalyst (driver spinning in
-    SizeInBytesOnlyStatsPlanVisitor with a CONSTANT 33-node plan — jstack'd;
-    chained checkpoint self-joins trigger a planner pathology), while the
-    V-row state here is exactly the community-count-bounded table that the
-    reference also keeps resident per GPU. The scale ceiling is driver
-    memory over O(V + Σ distinct neighbor-communities) rows per level —
-    beyond that, shard the argmax by vertex range (documented follow-up).
+    edges_all: (src, dst, w) symmetrized both directions, self-loops KEPT
+    (they count in k_v via kv_df but are excluded from candidate k_{v,c}).
+    kv_df: (vertex, k_v) including self-loop weight. Returns DF[vertex, c].
     """
-    import numpy as np
-    import pandas as pd
+    bcast = n_verts <= BROADCAST_STATE_MAX_V
 
-    kv_pd = verts_kv.toPandas().sort_values("vertex").reset_index(drop=True)
-    verts = kv_pd["vertex"].to_numpy()
-    k_v = dict(zip(kv_pd["vertex"], kv_pd["k_v"]))
-    labels = {int(v): int(v) for v in verts}
+    def _state(df, key):
+        return F.broadcast(df) if bcast else df.repartition(nparts, key)
+
+    edges_nl = edges_all.filter(F.col("src") != F.col("dst"))
+    labels = truncate_plan(
+        kv_df.select("vertex", F.col("vertex").alias("c")), eager=True
+    )
     prev_moved = None
     for inner in range(max_inner):
-        lab_df = spark.createDataFrame(
-            pd.DataFrame(
-                {"src": list(labels.keys()), "c_nbr": list(labels.values())}
-            )
+        # kvl: (vertex, c, k_v) — V rows, rebuilt per pass from materialized
+        # inputs (cheap); consumed by the sigma branch and the candidate join.
+        kvl = labels.join(_state(kv_df, "vertex"), on="vertex")
+        sigma = kvl.groupBy("c").agg(F.sum("k_v").alias("sig"))
+        # k_{v,c}: E-row join + map-side-combined hash agg, then attach the
+        # vertex's own (c, k_v). EAGER checkpoint: `cur` feeds both the
+        # k_in branch and the candidate branch of the same downstream job.
+        lab_src = _state(
+            labels.select(F.col("vertex").alias("src"), F.col("c").alias("c_nbr")),
+            "src",
         )
-        kvc = (
-            edges.join(F.broadcast(lab_df), on="src")
+        cur = (
+            edges_nl.join(lab_src, on="src")
             .groupBy(F.col("dst").alias("vertex"), "c_nbr")
             .agg(F.sum("w").alias("k_vc"))
-            .toPandas()
+            .join(_state(kvl, "vertex"), on="vertex")
         )
-        sigma: dict = {}
-        for v, c in labels.items():
-            sigma[c] = sigma.get(c, 0.0) + k_v[v]
-        # vectorized gain computation
-        vv = kvc["vertex"].to_numpy()
-        cn = kvc["c_nbr"].to_numpy()
-        kw = kvc["k_vc"].to_numpy()
-        c_cur = np.array([labels[int(x)] for x in vv])
-        k_in_cur_map = {
-            (int(v), int(c)): w for v, c, w in zip(vv, cn, kw) if labels[int(v)] == int(c)
-        }
-        k_in_cur = np.array(
-            [k_in_cur_map.get((int(v), int(c)), 0.0) for v, c in zip(vv, c_cur)]
+        cur = truncate_plan(cur, eager=True)
+        k_in_tab = cur.filter(F.col("c_nbr") == F.col("c")).select(
+            "vertex", F.col("k_vc").alias("k_in")
         )
-        kv_arr = np.array([k_v[int(x)] for x in vv])
-        sig_cur = np.array([sigma[int(c)] for c in c_cur])
-        sig_new = np.array([sigma.get(int(c), 0.0) for c in cn])
-        g = kw - k_in_cur - resolution * kv_arr * (sig_new - (sig_cur - kv_arr)) / m2
-        # direction gate: alternate up/down passes (louvain.cuh:94-101)
-        gate = (cn > c_cur) if inner % 2 == 0 else (cn < c_cur)
-        ok = (g > 1e-12) & gate & (cn != c_cur)
-        moves: dict = {}
-        bestkey: dict = {}
-        for v, c, gg in zip(vv[ok], cn[ok], g[ok]):
-            key = (float(gg), -int(c))
-            if v not in bestkey or key > bestkey[v]:
-                bestkey[v] = key
-                moves[int(v)] = int(c)
-        for v, c in moves.items():
-            labels[v] = c
-        n_moved = len(moves)
+        gate = (
+            (F.col("c_nbr") > F.col("c"))
+            if inner % 2 == 0
+            else (F.col("c_nbr") < F.col("c"))
+        )
+        cand = (
+            cur.filter(F.col("c_nbr") != F.col("c"))
+            .filter(gate)
+            .join(_state(k_in_tab, "vertex"), on="vertex", how="left")
+            .join(
+                _state(sigma.select(F.col("c").alias("c_nbr"), F.col("sig").alias("sig_new")), "c_nbr"),
+                on="c_nbr",
+            )
+            .join(_state(sigma.select("c", F.col("sig").alias("sig_cur")), "c"), on="c")
+            .withColumn(
+                "g",
+                F.col("k_vc")
+                - F.coalesce(F.col("k_in"), F.lit(0.0))
+                - F.lit(resolution)
+                * F.col("k_v")
+                * (F.col("sig_new") - (F.col("sig_cur") - F.col("k_v")))
+                / F.lit(m2),
+            )
+        )
+        # argmax by gain, tie -> min community id: max(struct(g, -c_nbr))
+        moves = (
+            cand.filter(F.col("g") > _EPS)
+            .groupBy("vertex")
+            .agg(F.max(F.struct(F.col("g"), (-F.col("c_nbr")).alias("nc"))).alias("t"))
+            .select("vertex", (-F.col("t.nc")).alias("c_new"))
+        )
+        new_labels = truncate_plan(
+            labels.join(_state(moves, "vertex"), on="vertex", how="left").select(
+                "vertex",
+                F.coalesce(F.col("c_new"), F.col("c")).alias("c"),
+                F.col("c_new").isNotNull().alias("moved"),
+            ),
+            eager=False,  # single consumer: the count below materializes it
+        )
+        n_moved = new_labels.filter(F.col("moved")).count()
+        labels = new_labels.select("vertex", "c")
         # stop after a full up+down cycle moved at most 1% of vertices —
         # synchronous passes trail off geometrically (deterministic rule,
         # mirrored exactly by the test oracle)
@@ -114,9 +145,7 @@ def _local_moves(spark, edges, verts_kv, n_verts, m2, resolution, max_inner):
         if prev_moved is not None and n_moved <= thresh and prev_moved <= thresh:
             break
         prev_moved = n_moved
-    return spark.createDataFrame(
-        pd.DataFrame({"vertex": list(labels.keys()), "c": list(labels.values())})
-    )
+    return labels
 
 
 def louvain(
@@ -136,12 +165,13 @@ def louvain(
         raise ValueError("Louvain requires an undirected graph")
     spark = graph.edges.sparkSession
     w = F.col("weight") if graph.weighted else F.lit(1.0)
-    # symmetrized, self-loops dropped for the move phase (their weight joins
-    # the community's internal mass automatically after coarsening)
+    nparts = pick_partitions(spark, graph.edges.count(), None)
+    # symmetrized both directions; self-loops KEPT — their weight counts in
+    # m2, k_v, sigma and is carried through coarsening (louvain.cuh:66)
     edges = (
         graph.edges.select("src", "dst", w.alias("w"))
-        .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=False)
+        .repartition(nparts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m2 = edges.agg(F.sum("w")).collect()[0][0] or 0.0  # = 2m (both directions)
     if m2 == 0:
@@ -149,55 +179,63 @@ def louvain(
         return graph.unrenumber(out, "vertex") if graph.renumbered else out, 0.0
 
     # flat assignment: original vertex -> current-level community
-    flat = graph.vertices().select("vertex", F.col("vertex").alias("c")).localCheckpoint(
-        eager=False
+    flat = truncate_plan(
+        graph.vertices().select("vertex", F.col("vertex").alias("c")), eager=False
     )
     level_edges = edges
     with no_aqe(spark):
         for _level in range(max_levels):
-            verts_kv = (
-                level_edges.groupBy(F.col("src").alias("vertex"))
-                .agg(F.sum("w").alias("k_v"))
-                .localCheckpoint(eager=False)
+            # k_v INCLUDES self-loop weight (it belongs to the vertex's
+            # degree mass); EAGER: consumed by several branches per pass
+            kv_df = truncate_plan(
+                level_edges.groupBy(F.col("src").alias("vertex")).agg(
+                    F.sum("w").alias("k_v")
+                ),
+                eager=True,
             )
-            n_verts = verts_kv.count()
+            n_verts = kv_df.count()
+            bcast = n_verts <= BROADCAST_STATE_MAX_V
             labels = _local_moves(
-                spark, level_edges, verts_kv, n_verts, m2, resolution, max_iter
+                spark, level_edges, kv_df, n_verts, m2, resolution, max_iter, nparts
             )
             n_comm = labels.select("c").distinct().count()
             # flatten this level into the original-vertex assignment
+            lab_flat = labels.select(F.col("vertex").alias("c"), F.col("c").alias("c_next"))
             flat = (
                 flat.join(
-                    labels.select(
-                        F.col("vertex").alias("c"), F.col("c").alias("c_next")
-                    ),
+                    F.broadcast(lab_flat) if bcast else lab_flat.repartition(nparts, "c"),
                     on="c",
                     how="left",
                 )
                 .select(
                     "vertex", F.coalesce(F.col("c_next"), F.col("c")).alias("c")
                 )
-                .localCheckpoint(eager=False)
             )
+            flat = truncate_plan(flat, eager=False)
             if n_comm == n_verts:  # no merge happened at this level
                 break
-            # coarsen: communities become vertices (coarsen_graph_impl.cuh)
-            lab_src = labels.withColumnRenamed("vertex", "src").withColumnRenamed("c", "cs")
-            lab_dst = labels.withColumnRenamed("vertex", "dst").withColumnRenamed("c", "cd")
-            # keep coarsened self-loops: internal community weight must count
-            # in the next level's k_v and sigma (canonical Louvain semantics)
+            # coarsen: communities become vertices (coarsen_graph_impl.cuh);
+            # self-loops (community-internal mass) are produced and carried.
+            lab_src = labels.select(F.col("vertex").alias("src"), F.col("c").alias("cs"))
+            lab_dst = labels.select(F.col("vertex").alias("dst"), F.col("c").alias("cd"))
+            if bcast:
+                lab_src, lab_dst = F.broadcast(lab_src), F.broadcast(lab_dst)
+            else:
+                lab_src = lab_src.repartition(nparts, "src")
+                lab_dst = lab_dst.repartition(nparts, "dst")
             # EAGER checkpoint: the coarsened table is referenced by two
             # branches of the next pass's single job; a lazy checkpoint that
             # both branches materialize concurrently deadlocks
             level_edges = (
-                level_edges.join(F.broadcast(lab_src), on="src")
-                .join(F.broadcast(lab_dst), on="dst")
+                level_edges.join(lab_src, on="src")
+                .join(lab_dst, on="dst")
                 .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
                 .agg(F.sum("w").alias("w"))
-                .localCheckpoint(eager=True)
             )
+            level_edges = truncate_plan(level_edges, eager=True)
             if level_edges.filter(F.col("src") != F.col("dst")).limit(1).count() == 0:
                 break
+    edges.unpersist()
     labels_out = flat.select("vertex", F.col("c").alias("labels"))
     q = analyze_clustering_modularity(graph, labels_out)
     out = labels_out.withColumnRenamed("labels", "partition")

@@ -1,96 +1,229 @@
-"""Strongly connected components — forward-backward reachability.
+"""Strongly connected components — trim + multi-pivot coloring.
 
 Reference: components/connectivity.py:198-293
 (`strongly_connected_components(G)` → DF[vertex, labels]); legacy GEMM-style
-kernel cpp/src/components/scc_matrix.cuh:55-61. Like WCC, the reference's
-labels are arbitrary; comparisons canonicalize (min member per component),
-so any correct SCC algorithm is output-equivalent.
+kernel cpp/src/components/scc_matrix.cuh:55-61. The reference's labels are
+arbitrary (algorithms.hpp:1381-1383); comparisons canonicalize, and this
+implementation emits the canonical form directly: label = min vertex id of
+the SCC (deterministic).
 
-Algorithm (FW-BW, Fleischer et al. 2000): pick the minimum remaining vertex
-as pivot; F = forward-reachable set, B = backward-reachable set (two BFS
-frontier loops over the remaining subgraph); SCC = F ∩ B, labeled with its
-min member; remove and repeat. Deterministic pivot choice ⇒ deterministic
-labels. Rounds = number of components intersected by the pivot chain — fine
-for web graphs (one giant SCC + small periphery); a multi-pivot coloring
-variant is the known scale-up if round count ever dominates.
+Algorithm (FW-BW-Trim / coloring, Slota et al. 2014 "BFS and
+Coloring-Based Parallel Algorithms for SCC"):
+
+1. **Bulk trim** — vertices with no in-edges or no out-edges in the
+   remaining subgraph are singleton SCCs; peel them ALL per round (a web
+   graph's millions of trivial SCCs disappear in a few set operations, not
+   one driver round-trip each).
+2. **Forward min-coloring** — propagate color(v) = min(v, min colors of
+   in-neighbors) to fixpoint (WCC-shaped changed-count loop). Each color
+   class is the forward-reachable region of its root r (color(r) = r).
+3. **Backward multi-BFS** — from ALL roots simultaneously, walk reversed
+   edges restricted to same-color pairs; every vertex reached is in its
+   root's SCC. The root is provably the SCC's min member (any member
+   reaches r forward, so a member < r would recolor r), hence labels are
+   canonical min-member ids.
+4. Remove labeled vertices and repeat. Every round retires ≥1 SCC per
+   color class plus all trimmed vertices, so disjoint-small-SCC graphs
+   finish in one round and web-shaped graphs in a handful.
+
+All V-row state is broadcast-gated (BROADCAST_STATE_MAX_V) and every loop
+iteration truncates lineage + carried stats via truncate_plan (see
+linkgraph/plans.py for the compounding-stats pathology).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..plans import truncate_plan
 from ..structure.graph import Graph
-from .pagerank import no_aqe, pick_partitions
-
-
-def _reach(spark, edges, src_col, dst_col, pivot) -> DataFrame:
-    """BFS reachable set from pivot along (src_col -> dst_col)."""
-    visited = spark.createDataFrame([(pivot,)], "vertex LONG").localCheckpoint(
-        eager=False
-    )
-    frontier = visited
-    while True:
-        nxt = (
-            edges.join(
-                F.broadcast(frontier.select(F.col("vertex").alias(src_col))),
-                on=src_col,
-            )
-            .select(F.col(dst_col).alias("vertex"))
-            .distinct()
-            .join(visited, on="vertex", how="left_anti")
-            .localCheckpoint(eager=False)
-        )
-        if nxt.limit(1).count() == 0:
-            return visited
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def strongly_connected_components(
-    graph: Graph, max_components: int = 10_000, num_partitions: int | None = None
+    graph: Graph,
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns DF[vertex, labels]; label = min vertex id of the SCC
-    (canonical, deterministic)."""
+    (canonical, deterministic). ``stats`` (optional dict) receives
+    ``{"rounds", "trim_rounds", "color_iters", "bfs_iters"}`` for tests and
+    tuning."""
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
+    n_v = graph.number_of_vertices()
+    bcast = n_v <= BROADCAST_STATE_MAX_V
+
+    def _state(df, key):
+        return F.broadcast(df) if bcast else df.repartition(nparts, key)
+
+    # multiplicity and weights are irrelevant to SCC; self-loops are too
     edges = (
         graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .repartition(nparts, "src")
-        .localCheckpoint(eager=False)
     )
-    remaining = graph.vertices().localCheckpoint(eager=False)
-    results = []
+    edges = truncate_plan(edges, eager=True)
+    active = truncate_plan(graph.vertices(), eager=True)
+    assigned: DataFrame | None = None
+    counters = {"rounds": 0, "trim_rounds": 0, "color_iters": 0, "bfs_iters": 0}
+
+    def _add(assigned, part):
+        out = part if assigned is None else assigned.unionByName(part)
+        # lazy: consumed once, by the final select (or next union's plan)
+        return truncate_plan(out, eager=False)
+
     with no_aqe(spark):
-        for _ in range(max_components):
-            head = remaining.orderBy("vertex").limit(1).collect()
-            if not head:
+        for _round in range(max_rounds):
+            counters["rounds"] = _round + 1
+            # --- bulk trim: peel every vertex lacking in- or out-edges ---
+            while True:
+                counters["trim_rounds"] += 1
+                core = (
+                    edges.select(F.col("src").alias("vertex"))
+                    .distinct()
+                    .join(
+                        _state(edges.select(F.col("dst").alias("vertex")).distinct(), "vertex"),
+                        on="vertex",
+                    )
+                )
+                trimmed = truncate_plan(
+                    active.join(_state(core, "vertex"), on="vertex", how="left_anti"),
+                    eager=False,
+                )
+                if trimmed.count() == 0:
+                    break
+                assigned = _add(
+                    assigned, trimmed.select("vertex", F.col("vertex").alias("labels"))
+                )
+                active = truncate_plan(
+                    active.join(_state(trimmed, "vertex"), on="vertex", how="left_anti"),
+                    eager=True,
+                )
+                edges = truncate_plan(
+                    edges.join(
+                        _state(trimmed.select(F.col("vertex").alias("src")), "src"),
+                        on="src",
+                        how="left_anti",
+                    ).join(
+                        _state(trimmed.select(F.col("vertex").alias("dst")), "dst"),
+                        on="dst",
+                        how="left_anti",
+                    ),
+                    eager=True,
+                )
+            if active.count() == 0:
                 break
-            pivot = head[0]["vertex"]
-            fwd = _reach(spark, edges, "src", "dst", pivot)
-            bwd = _reach(spark, edges, "dst", "src", pivot)
-            scc = fwd.join(bwd, on="vertex", how="inner").localCheckpoint(eager=False)
-            label = scc.agg(F.min("vertex")).collect()[0][0]
-            results.append(scc.select("vertex", F.lit(label).cast("long").alias("labels")))
-            remaining = remaining.join(scc, on="vertex", how="left_anti").localCheckpoint(
-                eager=False
+            # --- forward min-coloring to fixpoint ---
+            color = truncate_plan(
+                active.select("vertex", F.col("vertex").alias("color")), eager=True
             )
-            # shrink the edge set to the remaining subgraph
-            edges = (
-                edges.join(scc.withColumnRenamed("vertex", "src"), on="src", how="left_anti")
-                .join(scc.withColumnRenamed("vertex", "dst"), on="dst", how="left_anti")
-                .localCheckpoint(eager=False)
+            while True:
+                counters["color_iters"] += 1
+                upd = (
+                    edges.join(
+                        _state(
+                            color.select(
+                                F.col("vertex").alias("src"), F.col("color").alias("c_in")
+                            ),
+                            "src",
+                        ),
+                        on="src",
+                    )
+                    .groupBy(F.col("dst").alias("vertex"))
+                    .agg(F.min("c_in").alias("c_min"))
+                )
+                new = truncate_plan(
+                    color.join(_state(upd, "vertex"), on="vertex", how="left").select(
+                        "vertex",
+                        F.least(
+                            F.col("color"), F.coalesce(F.col("c_min"), F.col("color"))
+                        ).alias("color"),
+                        (
+                            F.coalesce(F.col("c_min"), F.col("color")) < F.col("color")
+                        ).alias("chg"),
+                    ),
+                    eager=False,  # single consumer: the changed-count below
+                )
+                n_chg = new.filter(F.col("chg")).count()
+                color = new.select("vertex", "color")
+                if n_chg == 0:
+                    break
+            color = truncate_plan(color, eager=True)  # multi-branch consumer
+            # --- backward multi-BFS from all roots within color classes ---
+            ec = (
+                edges.join(
+                    _state(
+                        color.select(F.col("vertex").alias("src"), F.col("color").alias("c_s")),
+                        "src",
+                    ),
+                    on="src",
+                )
+                .join(
+                    _state(
+                        color.select(F.col("vertex").alias("dst"), F.col("color").alias("c_d")),
+                        "dst",
+                    ),
+                    on="dst",
+                )
+                .filter(F.col("c_s") == F.col("c_d"))
+                .select("src", "dst")
+                .repartition(nparts, "dst")
+            )
+            ec = truncate_plan(ec, eager=True)
+            member = truncate_plan(
+                color.filter(F.col("vertex") == F.col("color")).select("vertex"),
+                eager=True,
+            )
+            frontier = member
+            while True:
+                counters["bfs_iters"] += 1
+                preds = truncate_plan(
+                    ec.join(
+                        _state(frontier.select(F.col("vertex").alias("dst")), "dst"),
+                        on="dst",
+                    )
+                    .select(F.col("src").alias("vertex"))
+                    .distinct()
+                    .join(_state(member, "vertex"), on="vertex", how="left_anti"),
+                    eager=False,  # materialized by the count (member rides along)
+                )
+                if preds.count() == 0:
+                    break
+                member = truncate_plan(member.unionByName(preds), eager=True)
+                frontier = preds
+            scc = member.join(_state(color, "vertex"), on="vertex").select(
+                "vertex", F.col("color").alias("labels")
+            )
+            assigned = _add(assigned, scc)
+            active = truncate_plan(
+                active.join(_state(member, "vertex"), on="vertex", how="left_anti"),
+                eager=True,
+            )
+            edges = truncate_plan(
+                edges.join(
+                    _state(member.select(F.col("vertex").alias("src")), "src"),
+                    on="src",
+                    how="left_anti",
+                ).join(
+                    _state(member.select(F.col("vertex").alias("dst")), "dst"),
+                    on="dst",
+                    how="left_anti",
+                ),
+                eager=True,
             )
         else:
-            raise RuntimeError("max_components exceeded")
-    if not results:
+            raise RuntimeError("scc: max_rounds exceeded")
+    if stats is not None:
+        stats.update(counters)
+    if assigned is None:
         return graph.vertices().select(
             "vertex", F.col("vertex").alias("labels")
         ).limit(0)
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
+    out = assigned
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
     return out

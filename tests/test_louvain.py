@@ -17,12 +17,14 @@ def _oracle_level(edges, m2, resolution, max_inner):
     verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     k_v = {v: 0.0 for v in verts}
     for s, d, w in edges:
-        k_v[s] += w
+        k_v[s] += w  # self-loop weight counts in k_v (and thus sigma)
     labels = {v: v for v in verts}
     prev_moved = None
     for inner in range(max_inner):
         kvc = {v: {} for v in verts}
         for s, d, w in edges:
+            if s == d:
+                continue  # self-loops excluded from candidate k_{v,c}
             c = labels[s]
             kvc[d][c] = kvc[d].get(c, 0.0) + w
         sigma = {}
@@ -60,9 +62,9 @@ def _oracle_level(edges, m2, resolution, max_inner):
 
 
 def oracle_louvain(edges, resolution=GAMMA, max_iter=20, max_levels=10):
-    m2 = sum(w for _, _, w in edges)
+    m2 = sum(w for _, _, w in edges)  # self-loops included in 2m
     flat = {v: v for v in {s for s, _, _ in edges} | {d for _, d, _ in edges}}
-    level_edges = [e for e in edges if e[0] != e[1]]
+    level_edges = list(edges)  # self-loops carried through coarsening
     for _ in range(max_levels):
         labels = _oracle_level(level_edges, m2, resolution, max_iter)
         n_comm = len(set(labels.values()))
@@ -108,6 +110,28 @@ def test_louvain_two_cliques(spark):
     right = {got[v] for v in [10, 11, 12, 13]}
     assert len(left) == 1 and len(right) == 1 and left != right
     assert q > 0.3
+
+
+def test_louvain_self_loops_exact_vs_oracle(spark):
+    """Self-loop weight counts in m2/k_v/sigma but never in candidate
+    k_{v,c} (reference louvain.cuh:409-411 cluster_subtract)."""
+    clique = lambda off: [
+        (off + i, off + j, 1.0) for i in range(4) for j in range(i + 1, 4)
+    ]
+    rows = clique(0) + clique(10) + [(0, 10, 1.0), (2, 2, 5.0), (11, 11, 3.0)]
+    e = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    g = Graph.from_edgelist(e, weight="weight", renumber=False, directed=False)
+    edges = [(r.src, r.dst, r.weight) for r in g.edges.collect()]
+    expected = oracle_louvain(edges)
+    # max+1 universe rule: isolated vertices keep their own label
+    for v in range(14):
+        expected.setdefault(v, v)
+    res, q = louvain(g)
+    got = {r.vertex: r.partition for r in res.collect()}
+    assert got == expected
+    left = {got[v] for v in [0, 1, 2, 3]}
+    right = {got[v] for v in [10, 11, 12, 13]}
+    assert len(left) == 1 and len(right) == 1 and left != right
 
 
 def test_louvain_requires_undirected(spark):

@@ -84,6 +84,29 @@ def test_scc_matches_tarjan(spark):
     assert got == expected
 
 
+def test_scc_many_small_components_few_rounds(spark):
+    """10³ disjoint small SCCs must resolve in O(1) outer rounds (bulk trim
+    + multi-pivot coloring), not one driver round-trip per component."""
+    edges = []
+    for k in range(500):  # 500 2-cycles
+        a, b = 2 * k, 2 * k + 1
+        edges += [(a, b), (b, a)]
+    for k in range(500):  # 500 triangles, each with a trim tail
+        a = 1000 + 4 * k
+        edges += [(a, a + 1), (a + 1, a + 2), (a + 2, a), (a + 2, a + 3)]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    g = Graph.from_edgelist(e, renumber=False, directed=True)
+    stats = {}
+    got = {
+        r.vertex: r.labels
+        for r in strongly_connected_components(g, stats=stats).collect()
+    }
+    expected = oracle_scc(edges, sorted({v for p in edges for v in p}))
+    assert got == expected
+    assert stats["rounds"] <= 3, stats
+    assert stats["bfs_iters"] <= 8, stats
+
+
 def oracle_mst_weight(edges):
     """Kruskal total weight of the spanning forest."""
     parent = {}
