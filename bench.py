@@ -2,8 +2,17 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "pagerank_gteps": ..., ...}
+  {"metric": ..., "value": cold_total_sec, "unit": "sec",
+   "queries": {name: sec, ...},               # cold pass (fresh JVM)
+   "value_warm": ..., "queries_warm": {...},  # second pass, same JVM
+   "sf": ..., "pagerank_gteps_*": ...}
+
+COLD vs WARM (VERDICT r1 item 10): the cold pass includes JVM/codegen
+warm-up and first-touch parquet scans — it is what a single-shot driver run
+measures. The warm pass repeats the identical work in the same session with
+caches hot — it is the steady-state number a long-lived cluster session
+sees. Both are emitted so committed claims and driver measurements can be
+compared like-for-like.
 
 The PageRank numbers double as the BASELINE.json throughput metric:
 GTEPS = E * iterations / elapsed / 1e9 (edges traversed per second), per
@@ -16,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,6 +49,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "17"))
 RMAT_ITERS = int(os.environ.get("BENCH_RMAT_ITERS", "5"))
 CORPUS_PAGES = int(os.environ.get("BENCH_CORPUS_PAGES", "5000"))
+WARM_PASS = os.environ.get("BENCH_WARM_PASS", "1") != "0"
 
 
 def main() -> None:
@@ -46,81 +57,84 @@ def main() -> None:
         app_name="linkgraph-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
-    # --- corpus pipeline: generate -> extract (parity filter) -> edges ---
-    def corpus_pipeline():
-        pages = generate_pages(spark, CORPUS_PAGES, seed=42)
-        ok = pages.filter(extract_text("html") == F.col("text"))
-        return pages_to_edges(ok).count()
-
-    extras["corpus_edges"] = timed("corpus_extract", corpus_pipeline)
-
-    # --- testdata link graph (same derivation the correctness gate uses) ---
+    # shared cached inputs (built once; the cold pass pays the first scan)
     edges = link_edges(spark, SF_DIR).cache()
-    E = edges.count()
-    extras["link_graph_edges"] = E
     g_dir = Graph.from_edgelist(edges, directed=True, renumber=False)
     g_und = Graph.from_edgelist(edges, directed=False, renumber=False)
-
-    timed("pagerank_15it", lambda: pagerank(g_dir, fixed_iterations=15).count())
-    extras["pagerank_gteps_linkgraph"] = round(
-        E * 15 / timings["pagerank_15it"] / 1e9, 6
+    g_sup = Graph.from_edgelist(
+        supply_edges(spark, SF_DIR), directed=False, renumber=False
     )
-    timed("wcc", lambda: weakly_connected_components(g_und).count())
-    timed("lpa_4it", lambda: label_propagation(g_und, fixed_iterations=4).count())
-    g_sup = Graph.from_edgelist(supply_edges(spark, SF_DIR), directed=False, renumber=False)
-    timed("triangles", lambda: triangle_count(g_sup))
-
-    # --- RMAT throughput workload (reference benchmark shape) ---
     redges = rmat_edges(spark, RMAT_SCALE, 16).cache()
-    RE = redges.count()
-    extras["rmat_edges"] = RE
     g_rmat = Graph.from_edgelist(redges, directed=True, renumber=False)
-    ts: list = []
-    timed(
-        f"pagerank_rmat_s{RMAT_SCALE}_{RMAT_ITERS}it",
-        lambda: pagerank(
-            g_rmat, fixed_iterations=RMAT_ITERS + 3, iteration_timings=ts
-        ).count(),
-    )
-    extras["pagerank_gteps_rmat_e2e"] = round(
-        RE * (RMAT_ITERS + 3)
-        / timings[f"pagerank_rmat_s{RMAT_SCALE}_{RMAT_ITERS}it"]
-        / 1e9,
-        6,
-    )
-    import statistics
+    E = None
+    RE = None
+    rmat_name = f"pagerank_rmat_s{RMAT_SCALE}_{RMAT_ITERS}it"
 
-    med = statistics.median(ts[3:])  # steady state, warmup dropped
+    def run_pass() -> tuple[dict, list]:
+        timings: dict[str, float] = {}
+
+        def timed(name, fn):
+            t0 = time.time()
+            out = fn()
+            timings[name] = round(time.time() - t0, 3)
+            return out
+
+        def corpus_pipeline():
+            pages = generate_pages(spark, CORPUS_PAGES, seed=42)
+            ok = pages.filter(extract_text("html") == F.col("text"))
+            return pages_to_edges(ok).count()
+
+        extras["corpus_edges"] = timed("corpus_extract", corpus_pipeline)
+        timed("pagerank_15it", lambda: pagerank(g_dir, fixed_iterations=15).count())
+        timed("wcc", lambda: weakly_connected_components(g_und).count())
+        timed("lpa_4it", lambda: label_propagation(g_und, fixed_iterations=4).count())
+        timed("triangles", lambda: triangle_count(g_sup))
+        ts: list = []
+        timed(
+            rmat_name,
+            lambda: pagerank(
+                g_rmat, fixed_iterations=RMAT_ITERS + 3, iteration_timings=ts
+            ).count(),
+        )
+        for name in ("doc_shingle_dups", "emb_topk", "events_hourly"):
+            timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
+        return timings, ts
+
+    # --- cold pass: fresh JVM, first-run codegen, first parquet touch ---
+    cold, ts_cold = run_pass()
+    E = edges.count()
+    RE = redges.count()
+    extras["link_graph_edges"] = E
+    extras["rmat_edges"] = RE
+    extras["pagerank_gteps_linkgraph"] = round(E * 15 / cold["pagerank_15it"] / 1e9, 6)
+    extras["pagerank_gteps_rmat_e2e"] = round(
+        RE * (RMAT_ITERS + 3) / cold[rmat_name] / 1e9, 6
+    )
+    med = statistics.median(ts_cold[3:])  # steady state, warmup dropped
     extras["pagerank_gteps_rmat_steady"] = round(RE / med / 1e9, 6)
     extras["pagerank_sec_per_superstep_steady"] = round(med, 4)
 
-    # --- doc/embedding ops from the query surface ---
-    for name in ("doc_shingle_dups", "emb_topk", "events_hourly"):
-        timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
+    out = {
+        "metric": "linkgraph_headline_suite",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        **extras,
+    }
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "linkgraph_headline_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                **extras,
-            }
-        )
-    )
+    # --- warm pass: identical work, same JVM, caches hot ---
+    if WARM_PASS:
+        warm, ts_warm = run_pass()
+        out["value_warm"] = round(sum(warm.values()), 3)
+        out["queries_warm"] = warm
+        med_w = statistics.median(ts_warm[3:])
+        out["pagerank_gteps_rmat_steady_warm"] = round(RE / med_w / 1e9, 6)
+
+    print(json.dumps(out))
     spark.stop()
 
 

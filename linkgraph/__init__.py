@@ -12,7 +12,12 @@ and training-data-pipeline ops (dedup tiers, text analysis, ANN search).
 
 from .corpus import generate_pages
 from .extract import extract_links, extract_text, pages_to_edges
-from .generators import rmat_edges
+from .generators import (
+    erdos_renyi_edges,
+    mesh_graph_edges,
+    path_graph_edges,
+    rmat_edges,
+)
 from .session import get_spark
 from .structure.graph import Graph
 from .structure.hypergraph import hypergraph
@@ -25,6 +30,8 @@ from .algorithms.triangles import triangle_count
 from .algorithms.traversal import (
     bfs,
     filter_unreachable,
+    bfs_edges,
+    concurrent_bfs,
     multi_source_bfs,
     shortest_path_length,
     sssp,
@@ -42,16 +49,23 @@ from .algorithms.link_prediction import (
 from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
-from .algorithms.random_walks import random_walks
+from .algorithms.random_walks import random_walks, rw_path
 from .algorithms.scc import strongly_connected_components
-from .algorithms.betweenness import betweenness_centrality
+from .algorithms.betweenness import betweenness_centrality, edge_betweenness_centrality
+from .algorithms.ecg import ecg
+from .algorithms.leiden import leiden
 from .algorithms.louvain import louvain
 from .algorithms.clustering_metrics import (
     analyze_clustering_edge_cut,
     analyze_clustering_modularity,
     analyze_clustering_ratio_cut,
 )
-from .structure.graph import from_numpy_array, from_pandas_edgelist
+from .structure.graph import (
+    from_numpy_array,
+    from_numpy_matrix,
+    from_pandas_adjacency,
+    from_pandas_edgelist,
+)
 from .algorithms.mst import maximum_spanning_tree, minimum_spanning_tree
 from .multimodal import (
     audio_features,
@@ -90,6 +104,7 @@ __all__ = [
     "analyze_clustering_modularity",
     "analyze_clustering_ratio_cut",
     "betweenness_centrality",
+    "edge_betweenness_centrality",
     "bfs",
     "bpe_ish_token_count",
     "build_number_map",
@@ -104,6 +119,8 @@ __all__ = [
     "extract_text",
     "filter_unreachable",
     "from_numpy_array",
+    "from_numpy_matrix",
+    "from_pandas_adjacency",
     "from_pandas_edgelist",
     "fingerprint",
     "generate_media",
@@ -121,9 +138,13 @@ __all__ = [
     "label_propagation",
     "language_id",
     "louvain",
+    "leiden",
+    "ecg",
     "lsh_cosine_topk",
     "minhash_dedup",
     "multi_source_bfs",
+    "bfs_edges",
+    "concurrent_bfs",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",
@@ -135,8 +156,12 @@ __all__ = [
     "pages_to_edges",
     "quality_metrics",
     "random_walks",
+    "rw_path",
     "renumber_edges",
     "rmat_edges",
+    "erdos_renyi_edges",
+    "path_graph_edges",
+    "mesh_graph_edges",
     "shortest_path_length",
     "simhash_near_pairs",
     "simhash_signatures",

@@ -1,7 +1,9 @@
-"""Betweenness centrality — k-sampled batched Brandes.
+"""Betweenness centrality (vertex and edge variants) — k-sampled batched
+Brandes.
 
 Reference: centrality/betweenness_centrality.py:26-288
-(`betweenness_centrality(G, k=None, normalized=True, seed=None)`), kernel
+(`betweenness_centrality(G, k=None, normalized=True, seed=None)` and
+`edge_betweenness_centrality(G, k, normalized, seed)` :200-288), kernel
 cpp/src/centrality/betweenness_centrality.cu (557 LoC) — Brandes 2001 with
 k sampled sources; exact when k = V.
 
@@ -9,12 +11,23 @@ Distributed shape: ALL k sources advance together (rows tagged by source —
 the reference batches sources across its grid the same way). Forward phase:
 level-synchronous BFS accumulating sigma (number of shortest paths) per
 (source, vertex) via sum-aggregated frontier pushes. Backward phase: walk
-levels deepest-first accumulating the dependency
-    delta(v) += sigma(v)/sigma(w) * (1 + delta(w))   for each DAG edge v->w
-as a join + sum per level. Betweenness(v) = Σ_sources delta(v), halved for
-undirected graphs, normalized like the reference/NetworkX when requested
-(undirected: 2/((n-1)(n-2)); directed: 1/((n-1)(n-2)); k-sampling rescales
-by n/k).
+levels deepest-first; every DAG edge v->w (dist(w) = dist(v)+1) carries
+    term(v,w) = sigma(v)/sigma(w) * (1 + delta(w))
+delta(v) = Σ_w term(v,w) feeds the next level up; vertex betweenness sums
+delta over sources, edge betweenness sums term over sources per edge (the
+reference's edge variant is the same backward pass keyed by edge instead of
+by predecessor — betweenness_centrality.cu accumulate_edges).
+
+Normalization mirrors the reference/NetworkX:
+- vertex: undirected 2/((n-1)(n-2)) + halving of the two-direction double
+  count; directed 1/((n-1)(n-2)).
+- edge: normalized 1/(n(n-1)); unnormalized undirected 0.5.
+- k-sampling rescales by n/k under the reference's gate
+  (rescale_by_total_sources_used): normalized or undirected, n > 2.
+
+Frontier/visited/level sizes gate broadcast vs co-partitioned joins —
+(source, vertex) state grows to k·V rows, never unconditionally
+broadcastable (VERDICT r1 item 4).
 """
 
 from __future__ import annotations
@@ -28,14 +41,9 @@ from ..structure.graph import Graph
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
-def betweenness_centrality(
-    graph: Graph,
-    k: int | None = None,
-    normalized: bool = True,
-    seed: int = 42,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Returns DF[vertex, betweenness_centrality] over all vertices."""
+def _brandes(graph, k, seed, num_partitions, want_edges):
+    """Shared forward+backward pass. Returns (vertex_acc, edge_acc, n, k_eff)
+    in internal ids; edge_acc is None unless want_edges."""
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = (
@@ -62,15 +70,12 @@ def betweenness_centrality(
         k_eff = k
     sources = sources.localCheckpoint(eager=False)
 
-    # ---- forward: level-synchronous multi-source BFS with sigma counts ----
-    # state rows: (s, vertex, dist, sigma). Frontier/visited sizes gate
-    # broadcast vs co-partitioned joins — (source, vertex) state grows to
-    # k·V rows, never unconditionally broadcastable (VERDICT r1 item 4).
     def _gate(df, n_rows, key):
         if n_rows <= BROADCAST_STATE_MAX_V:
             return F.broadcast(df)
         return df.repartition(nparts, key) if key else df
 
+    # ---- forward: level-synchronous multi-source BFS with sigma counts ----
     cur = truncate_plan(
         sources.select(
             "s", F.col("s").alias("vertex"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
@@ -115,9 +120,9 @@ def betweenness_centrality(
             cur = nxt
 
         # ---- backward: dependency accumulation, deepest level first ----
-        # delta rows: (s, vertex, delta)
         delta = None
         acc = None  # per-vertex summed dependency
+        e_acc = None  # per-edge summed terms (want_edges only)
         for lvl in range(len(levels) - 1, 0, -1):
             w_lvl = levels[lvl]  # rows at distance lvl
             if delta is not None:
@@ -128,7 +133,7 @@ def betweenness_centrality(
                 w_full = w_lvl.select("s", "vertex", "sigma", F.lit(0.0).alias("delta"))
             v_lvl = levels[lvl - 1]  # predecessors live exactly one level up
             # DAG edges v->w: edge (v,w) with dist(v)=lvl-1, dist(w)=lvl
-            contrib = truncate_plan(
+            edge_terms = (
                 edges.join(
                     _gate(
                         w_full.select(
@@ -152,11 +157,27 @@ def betweenness_centrality(
                     ),
                     on=["src", "s"],
                 )
-                .groupBy("s", F.col("src").alias("vertex"))
-                .agg(
-                    F.sum(
+                .select(
+                    "s",
+                    "src",
+                    "dst",
+                    (
                         F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
-                    ).alias("delta")
+                    ).alias("term"),
+                )
+            )
+            if want_edges:
+                # two consumers (delta agg + edge agg): materialize once
+                edge_terms = truncate_plan(edge_terms, eager=True)
+                e_lvl = edge_terms.groupBy("src", "dst").agg(F.sum("term").alias("bc"))
+                e_acc = e_lvl if e_acc is None else e_acc.unionByName(e_lvl)
+                e_acc = truncate_plan(
+                    e_acc.groupBy("src", "dst").agg(F.sum("bc").alias("bc")),
+                    eager=False,
+                )
+            contrib = truncate_plan(
+                edge_terms.groupBy("s", F.col("src").alias("vertex")).agg(
+                    F.sum("term").alias("delta")
                 ),
                 eager=True,  # consumed by next level's w_full join and lvl_acc
             )
@@ -171,7 +192,20 @@ def betweenness_centrality(
                 acc.groupBy("vertex").agg(F.sum("bc").alias("bc")), eager=False
             )
         # level-0 deltas (sources themselves) are excluded by Brandes (w != s)
+    edges.unpersist()
+    return acc, e_acc, n, k_eff
 
+
+def betweenness_centrality(
+    graph: Graph,
+    k: int | None = None,
+    normalized: bool = True,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns DF[vertex, betweenness_centrality] over all vertices."""
+    acc, _, n, k_eff = _brandes(graph, k, seed, num_partitions, want_edges=False)
+    verts = graph.vertices()
     if acc is None:
         acc = verts.select("vertex", F.lit(0.0).alias("bc")).limit(0)
     out = (
@@ -196,4 +230,54 @@ def betweenness_centrality(
     )
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def edge_betweenness_centrality(
+    graph: Graph,
+    k: int | None = None,
+    normalized: bool = True,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns DF[src, dst, betweenness_centrality] — one row per edge of
+    view_edge_list() (upper triangle for undirected graphs), matching the
+    reference's edge variant (betweenness_centrality.py:200-288) and
+    NetworkX's _rescale_e convention."""
+    _, e_acc, n, k_eff = _brandes(graph, k, seed, num_partitions, want_edges=True)
+    base = graph.edges.select("src", "dst").distinct()
+    if not graph.directed:
+        # combine the two directed rows of each undirected edge, emit src<dst
+        if e_acc is not None:
+            e_acc = (
+                e_acc.groupBy(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+                .agg(F.sum("bc").alias("bc"))
+            )
+        base = base.filter(F.col("src") <= F.col("dst"))
+    if e_acc is None:
+        e_acc = base.select("src", "dst", F.lit(0.0).alias("bc")).limit(0)
+    out = base.join(e_acc, on=["src", "dst"], how="left").select(
+        "src", "dst", F.coalesce(F.col("bc"), F.lit(0.0)).alias("bc")
+    )
+    # NetworkX _rescale_e: normalized -> 1/(n(n-1)); else undirected -> 0.5;
+    # sampling n/k under the same gate (only when a scale applies)
+    scale = None
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    elif not graph.directed:
+        scale = 0.5
+    if scale is not None and k_eff < n:
+        scale *= n / k_eff
+    out = out.select(
+        "src",
+        "dst",
+        (F.col("bc") * F.lit(1.0 if scale is None else scale)).alias(
+            "betweenness_centrality"
+        ),
+    )
+    if graph.renumbered:
+        out = graph.unrenumber(graph.unrenumber(out, "src"), "dst")
     return out

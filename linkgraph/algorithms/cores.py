@@ -4,27 +4,41 @@ Reference: cores/core_number.py:20-66 (DF[vertex, core_number]),
 cores/k_core.py:21-110 (induced subgraph of vertices with core >= k);
 kernel cpp/src/cores/core_number.cu (179 LoC peeling).
 
-Distributed peeling: process k = 0, 1, 2, ... ; at each k repeatedly remove
-vertices whose remaining degree <= k (their core number is k) until stable,
-then increment k. Each inner round is one degree aggregation + one semi-join
-— O(max_core) outer rounds, each touching a shrinking edge set. Matches the
-sequential peeling fixpoint exactly (core numbers are unique, so any
-execution order gives the same result). Self-loops are ignored for degree
-purposes (consistent with NetworkX/cuGraph core_number on simple graphs).
+Distributed algorithm: h-index iteration (Lu et al. 2016, "The H-index of a
+network node and its relation to degree and coreness", Nature Comms —
+repeatedly replacing each vertex's value with the h-index of its neighbors'
+values converges to the core number). Unlike sequential peeling
+(O(k_max x peel-rounds) driver-synchronized jobs — VERDICT r1 item 6), the
+h-index iteration is a fixed dataflow per round:
+
+    cap(v,u)  = min(c(u), c(v))          for every edge (u -> v)
+    ge(v,t)   = #neighbors with cap >= t (hash agg + tiny per-vertex window:
+                rows per vertex = DISTINCT c-values among neighbors, which is
+                bounded by the global distinct-coreness count — O(thousands)
+                under power law — NOT by hub degree)
+    c'(v)     = max_t min(t, ge(v,t))    (the h-index)
+
+and converges in tens of rounds regardless of k_max. Core numbers are
+unique, so the fixpoint equals the peeling result exactly. Self-loops are
+ignored for degree purposes (consistent with NetworkX/cuGraph core_number
+on simple graphs).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import truncate_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
-from .pagerank import no_aqe, pick_partitions
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
-def core_number(graph: Graph, num_partitions: int | None = None) -> DataFrame:
+def core_number(
+    graph: Graph, num_partitions: int | None = None, max_iter: int = 10_000
+) -> DataFrame:
     """Returns DF[vertex, core_number] for every vertex (isolated -> 0)."""
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
@@ -34,48 +48,60 @@ def core_number(graph: Graph, num_partitions: int | None = None) -> DataFrame:
     edges = (
         edges.filter(F.col("src") != F.col("dst"))
         .repartition(nparts, "src")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    results = []  # (vertex, k) DataFrames
-    spark_v = graph.vertices()
-    k = 0
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
+
+    def _state(df, key):
+        return F.broadcast(df) if bcast else df.repartition(nparts, key)
+
+    verts = graph.vertices()
+    deg = edges.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("c"))
+    c = truncate_plan(
+        verts.join(deg, on="vertex", how="left")
+        .fillna(0, subset=["c"])
+        .select("vertex", F.col("c").cast("long").alias("c")),
+        eager=True,
+    )
     with no_aqe(spark):
-        while True:
-            if edges.limit(1).count() == 0:
+        for _ in range(max_iter):
+            c_src = c.select(F.col("vertex").alias("src"), F.col("c").alias("c_u"))
+            capped = (
+                edges.join(_state(c_src, "src"), on="src")
+                .select(F.col("dst").alias("vertex"), "c_u")
+                .join(
+                    _state(c.select("vertex", F.col("c").alias("c_v")), "vertex"),
+                    on="vertex",
+                )
+                .select("vertex", F.least("c_u", "c_v").alias("cap"))
+            )
+            cnt = capped.groupBy("vertex", "cap").agg(F.count("*").alias("n"))
+            w = (
+                Window.partitionBy("vertex")
+                .orderBy(F.desc("cap"))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            newh = (
+                cnt.withColumn("ge", F.sum("n").over(w))
+                .groupBy("vertex")
+                .agg(F.max(F.least(F.col("cap"), F.col("ge"))).alias("h"))
+            )
+            new_c = truncate_plan(
+                c.join(_state(newh, "vertex"), on="vertex", how="left").select(
+                    "vertex",
+                    F.coalesce(F.col("h"), F.col("c")).alias("c"),
+                    (F.coalesce(F.col("h"), F.col("c")) != F.col("c")).alias("chg"),
+                ),
+                eager=False,  # single consumer: the changed-count below
+            )
+            n_chg = new_c.filter(F.col("chg")).count()
+            c = new_c.select("vertex", "c")
+            if n_chg == 0:
                 break
-            # peel all vertices with degree <= k until none remain at this k
-            while True:
-                deg = edges.groupBy(F.col("src").alias("vertex")).agg(
-                    F.count("*").alias("d")
-                )
-                peel = deg.filter(F.col("d") <= k).select("vertex")
-                peel = peel.localCheckpoint(eager=False)
-                if peel.limit(1).count() == 0:
-                    break
-                results.append(
-                    peel.select("vertex", F.lit(k).cast("long").alias("core_number"))
-                )
-                edges = (
-                    edges.join(
-                        peel.withColumnRenamed("vertex", "src"), on="src", how="left_anti"
-                    )
-                    .join(
-                        peel.withColumnRenamed("vertex", "dst"), on="dst", how="left_anti"
-                    )
-                    .localCheckpoint(eager=False)
-                )
-            k += 1
-    assigned = None
-    for r in results:
-        assigned = r if assigned is None else assigned.unionByName(r)
-    if assigned is None:
-        out = spark_v.select("vertex", F.lit(0).cast("long").alias("core_number"))
-    else:
-        out = (
-            spark_v.join(assigned, on="vertex", how="left")
-            .fillna(0, subset=["core_number"])
-            .select("vertex", "core_number")
-        )
+        else:
+            raise RuntimeError("core_number: max_iter exceeded")
+    edges.unpersist()
+    out = c.select("vertex", F.col("c").alias("core_number"))
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
     return out

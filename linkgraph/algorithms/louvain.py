@@ -58,12 +58,27 @@ from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 _EPS = 1e-12
 
 
-def _local_moves(spark, edges_all, kv_df, n_verts, m2, resolution, max_inner, nparts):
+def _local_moves(
+    spark,
+    edges_all,
+    kv_df,
+    n_verts,
+    m2,
+    resolution,
+    max_inner,
+    nparts,
+    init_labels=None,
+):
     """One dendrogram level, fully distributed.
 
     edges_all: (src, dst, w) symmetrized both directions, self-loops KEPT
     (they count in k_v via kv_df but are excluded from candidate k_{v,c}).
     kv_df: (vertex, k_v) including self-loop weight. Returns DF[vertex, c].
+
+    ``init_labels`` (vertex, c) optionally overrides the singleton start —
+    used by ECG's hash-relabeled ensemble members (label VALUES only affect
+    the up/down gate ordering and tie-breaks, not the gain formula) and by
+    Leiden's refinement (singleton start over a constrained edge set).
     """
     bcast = n_verts <= BROADCAST_STATE_MAX_V
 
@@ -72,7 +87,9 @@ def _local_moves(spark, edges_all, kv_df, n_verts, m2, resolution, max_inner, np
 
     edges_nl = edges_all.filter(F.col("src") != F.col("dst"))
     labels = truncate_plan(
-        kv_df.select("vertex", F.col("vertex").alias("c")), eager=True
+        init_labels if init_labels is not None
+        else kv_df.select("vertex", F.col("vertex").alias("c")),
+        eager=True,
     )
     prev_moved = None
     for inner in range(max_inner):

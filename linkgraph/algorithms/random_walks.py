@@ -1,28 +1,43 @@
-"""Uniform random walks with deterministic seeded sampling.
+"""Random walks with deterministic seeded sampling — full reference surface.
 
 Reference: sampling/random_walks.py:19-118 (`random_walks(G, start_vertices,
 max_depth, use_padding)` returning vertex paths, edge-weight paths, and path
-sizes); kernel cpp/src/sampling/random_walks.cuh (1309 LoC).
+sizes; `rw_path(num_paths, sizes)` returning the offset/size metadata that
+slices the flat arrays); kernel cpp/src/sampling/random_walks.cuh (1309 LoC).
 
 Spark shape (SURVEY §2.3): per step, join the walk frontier with the edge
 table on the current vertex and pick ONE outgoing edge per walk by a
-deterministic pseudo-random rank — ``xxhash64(walk_id, step, dst, seed)`` —
-reduced with ``min_by`` (a hash aggregation, no window sort, no RNG state):
-every run of the same (graph, starts, seed) yields identical paths, which is
-what the engine's determinism/resume contract requires (the reference uses
-device RNG and is NOT reproducible across runs; we strengthen that).
+deterministic pseudo-random rank reduced with a hash aggregation (min over
+a struct — no window sort, no RNG state): every run of the same
+(graph, starts, seed) yields identical paths, which is what the engine's
+determinism/resume contract requires (the reference uses device RNG and is
+NOT reproducible across runs; we strengthen that).
+
+Sampling is WEIGHTED on weighted graphs: next-hop probability ∝ edge weight
+via the Efraimidis–Spirakis A-Res key — rank = ln(u)/w with u a seeded hash
+mapped to (0,1), taking the per-walk maximum (equivalently the minimum of
+-ln(u)/w). Unweighted graphs reduce to the uniform min-hash pick.
+
+Output rows carry the traversed edge's weight (``edge_weight``; null at
+step 0 — the reference's weight path has size-1 entries per walk).
+``use_padding=True`` pads every walk to max_depth+1 rows with vertex = -1
+and edge_weight 0.0, mirroring the reference's padded layout. ``rw_path``
+reproduces the reference's (vertex_offset, weight_size, path_size) metadata
+from the unpadded result.
+
 Walks that reach a sink vertex stop early (matching the reference's
 truncated-path semantics with use_padding=False).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import truncate_plan
 from ..structure.graph import Graph
-from .pagerank import no_aqe, pick_partitions
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def random_walks(
@@ -30,10 +45,15 @@ def random_walks(
     start_vertices: list,
     max_depth: int = 4,
     seed: int = 42,
+    use_padding: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """DF[walk_id, step, vertex] — one row per visited vertex per walk
-    (step 0 = start). External ids when the graph is renumbered."""
+    """DF[walk_id, step, vertex, edge_weight] — one row per visited vertex
+    per walk (step 0 = start, edge_weight = weight of the edge taken INTO
+    this vertex, null at step 0). External ids when the graph is renumbered.
+    With ``use_padding`` every walk has exactly max_depth+1 rows, padded
+    with vertex = -1 / edge_weight = 0.0 like the reference's padded paths.
+    """
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     w = F.col("weight") if graph.weighted else F.lit(1.0)
@@ -48,32 +68,92 @@ def random_walks(
             raise ValueError("start vertex not in graph")
     else:
         internal = [int(v) for v in start_vertices]
-    cur = spark.createDataFrame(
-        [(i, 0, v) for i, v in enumerate(internal)],
-        "walk_id LONG, step INT, vertex LONG",
-    ).localCheckpoint(eager=False)
+    n_walks = len(internal)
+    bcast = n_walks <= BROADCAST_STATE_MAX_V
+
+    cur = truncate_plan(
+        spark.createDataFrame(
+            [(i, 0, v) for i, v in enumerate(internal)],
+            "walk_id LONG, step INT, vertex LONG",
+        ).withColumn("edge_weight", F.lit(None).cast("double")),
+        eager=False,
+    )
     paths = cur
     with no_aqe(spark):
         for step in range(1, max_depth + 1):
-            nxt = (
-                edges.join(
-                    F.broadcast(cur.select("walk_id", F.col("vertex").alias("src"))),
-                    on="src",
-                )
-                .withColumn(
-                    "rnd",
-                    F.xxhash64(F.col("walk_id"), F.lit(step), F.col("dst"), F.lit(seed)),
-                )
-                .groupBy("walk_id")
-                .agg(F.min_by("dst", "rnd").alias("vertex"))
-                .select("walk_id", F.lit(step).cast("int").alias("step"), "vertex")
-                .localCheckpoint(eager=False)
+            f_src = cur.select("walk_id", F.col("vertex").alias("src"))
+            f_src = (
+                F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
             )
-            if nxt.limit(1).count() == 0:
+            cand = edges.join(f_src, on="src")
+            # seeded uniform in (0, 1): hash magnitude, never exactly 0 or 1
+            u = (
+                F.abs(F.xxhash64("walk_id", F.lit(step), "dst", F.lit(seed)))
+                % F.lit(2**31)
+                + F.lit(1)
+            ) / F.lit(float(2**31 + 2))
+            if graph.weighted:
+                # A-Res weighted pick: max u^(1/w) == min -ln(u)/w
+                rank = -F.log(u) / F.col("w")
+            else:
+                rank = u
+            nxt = truncate_plan(
+                cand.withColumn("rnd", rank)
+                .groupBy("walk_id")
+                .agg(F.min(F.struct("rnd", "dst", "w")).alias("t"))
+                .select(
+                    "walk_id",
+                    F.lit(step).cast("int").alias("step"),
+                    F.col("t.dst").alias("vertex"),
+                    F.col("t.w").cast("double").alias("edge_weight"),
+                ),
+                eager=False,  # single consumer: the count below
+            )
+            if nxt.count() == 0:
                 break
-            paths = paths.unionByName(nxt).localCheckpoint(eager=False)
+            paths = truncate_plan(paths.unionByName(nxt), eager=False)
             cur = nxt
+    edges.unpersist()
     out = paths
+    if use_padding:
+        grid = (
+            spark.createDataFrame(
+                [(i,) for i in range(n_walks)], "walk_id LONG"
+            ).crossJoin(
+                spark.range(max_depth + 1).select(F.col("id").cast("int").alias("step"))
+            )
+        )
+        out = grid.join(out, on=["walk_id", "step"], how="left").select(
+            "walk_id",
+            "step",
+            F.coalesce(F.col("vertex"), F.lit(-1)).cast("long").alias("vertex"),
+            F.when(F.col("step") == 0, F.lit(None).cast("double"))
+            .otherwise(F.coalesce(F.col("edge_weight"), F.lit(0.0)))
+            .alias("edge_weight"),
+        )
     if graph.renumbered:
-        out = graph.unrenumber(out, "vertex")
-    return out.select("walk_id", "step", "vertex")
+        if use_padding:
+            padded = out.filter(F.col("vertex") == -1)
+            real = graph.unrenumber(out.filter(F.col("vertex") != -1), "vertex")
+            out = real.unionByName(
+                padded.select("walk_id", "step", "vertex", "edge_weight")
+            )
+        else:
+            out = graph.unrenumber(out, "vertex")
+    return out.select("walk_id", "step", "vertex", "edge_weight")
+
+
+def rw_path(paths: DataFrame) -> DataFrame:
+    """Reference rw_path (sampling/random_walks.py:121-160): per-walk
+    (vertex_offset, weight_size, path_size) metadata for slicing the flat
+    path arrays. ``paths`` is an UNPADDED random_walks result."""
+    sizes = paths.groupBy("walk_id").agg(F.count("*").alias("path_size"))
+    w_off = Window.orderBy("walk_id").rowsBetween(Window.unboundedPreceding, -1)
+    return sizes.select(
+        "walk_id",
+        F.coalesce(F.sum("path_size").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("vertex_offset"),
+        (F.col("path_size") - 1).cast("long").alias("weight_size"),
+        F.col("path_size").cast("long").alias("path_size"),
+    )

@@ -216,3 +216,27 @@ def multi_source_bfs(
     return batched_ego_graphs(
         graph, sources, radius=min(radius, 10_000), num_partitions=num_partitions
     )
+
+
+def bfs_edges(graph: Graph, source, reverse: bool = False, depth_limit: int | None = None):
+    """NX-compat wrapper (traversal/bfs.py:186-233 `bfs_edges`): BFS result
+    DF[vertex, distance, predecessor]; ``reverse`` walks in-edges."""
+    if reverse and graph.directed:
+        rev = Graph(
+            edges=graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            directed=True,
+            weighted=False,
+            renumbered=graph.renumbered,
+            nmap=graph.nmap,
+            multi=graph.multi,
+        )
+        return bfs(rev, source, depth_limit=depth_limit)
+    return bfs(graph, source, depth_limit=depth_limit)
+
+
+def concurrent_bfs(graph: Graph, sources: list, depth_limit: int | None = None):
+    """NX-compat wrapper (traversal/bfs.py:236-260 `concurrent_bfs`): batched
+    BFS from several sources — DF[seed, vertex, distance]."""
+    return multi_source_bfs(graph, sources, depth_limit=depth_limit)

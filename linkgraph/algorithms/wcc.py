@@ -43,9 +43,16 @@ def weakly_connected_components(
     checkpoint_every: int = 5,
     fixed_iterations: int | None = None,
 ) -> DataFrame:
-    """Returns DF[vertex, labels] — label = min vertex id in the component
-    (canonical). Column name `labels` matches the reference output
-    (components/connectivity.py:101-195)."""
+    """Returns DF[vertex, labels] — label = min INTERNAL vertex id in the
+    component (canonical). Column name `labels` matches the reference output
+    (components/connectivity.py:101-195).
+
+    Label-space contract: on a renumbered graph, `vertex` is mapped back to
+    external ids but `labels` stays in internal-id space — labels are opaque
+    component KEYS, not vertex references, exactly like the reference's
+    arbitrary kernel labels (algorithms.hpp:1381-1383; its python layer also
+    unrenumbers only the vertex column). Rows with equal `labels` are in the
+    same component; compare labels for equality only."""
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = graph.edges.select("src", "dst")

@@ -70,3 +70,71 @@ def _hash_uniform(ids: np.ndarray, salt: int) -> np.ndarray:
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     x = x ^ (x >> np.uint64(31))
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def erdos_renyi_edges(
+    spark: SparkSession,
+    n: int,
+    p: float,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """G(n, p) — every unordered pair kept independently with probability p.
+
+    Reference: cpp/src/generators/erdos_renyi_generator.cu (per-candidate
+    Bernoulli over the n^2 grid). Here: ``spark.range`` over the n(n-1)/2
+    unordered-pair indices, a seeded per-pair uniform, and a vectorized
+    triangular decode — deterministic and partitioning-independent like
+    rmat_edges. Work is O(n^2) scan pre-filter, the generator's inherent
+    cost; rows surviving are ~p*n^2/2.
+    """
+    n_pairs = n * (n - 1) // 2
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            keep = _hash_uniform(ids, seed * 1000003) < p
+            ids = ids[keep]
+            # triangular decode: pair id -> (i, j), i > j; float estimate
+            # then exact integer correction (safe past 2^53 ids)
+            i = np.floor((1.0 + np.sqrt(1.0 + 8.0 * ids.astype(np.float64))) / 2.0).astype(
+                np.int64
+            )
+            base = i * (i - 1) // 2
+            over = base > ids
+            i = i - over.astype(np.int64)
+            base = i * (i - 1) // 2
+            under = ids - base >= i
+            i = i + under.astype(np.int64)
+            base = i * (i - 1) // 2
+            j = ids - base
+            yield pd.DataFrame({"src": j.astype(np.int64), "dst": i})
+
+    return spark.range(0, n_pairs, 1, parts).mapInPandas(gen, "src long, dst long")
+
+
+def path_graph_edges(spark: SparkSession, n: int) -> DataFrame:
+    """Path 0-1-...-(n-1) (cpp/src/generators/simple_generators.cu)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(max(n - 1, 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+
+
+def mesh_graph_edges(spark: SparkSession, rows: int, cols: int) -> DataFrame:
+    """2-D mesh/grid: vertex r*cols+c, edges right and down
+    (cpp/src/generators/simple_generators.cu mesh)."""
+    from pyspark.sql import functions as F
+
+    v = spark.range(rows * cols).select(
+        F.col("id").alias("src"),
+        (F.col("id") % cols).alias("c"),
+        F.floor(F.col("id") / cols).alias("r"),
+    )
+    right = v.filter(F.col("c") < cols - 1).select("src", (F.col("src") + 1).alias("dst"))
+    down = v.filter(F.col("r") < rows - 1).select(
+        "src", (F.col("src") + cols).alias("dst")
+    )
+    return right.unionByName(down)

@@ -752,7 +752,45 @@ QUERIES.update(
 
 # queries exercised by pytest oracles instead of SQL (randomized internals:
 # hash permutations / hyperplanes, or loop-carried peeling)
-NO_ORACLE = {"core_number", "doc_minhash_dedup", "emb_lsh_topk"}
+NO_ORACLE = {"doc_minhash_dedup", "emb_lsh_topk"}
+
+CORE_ORACLE_ROUNDS = 30
+
+
+def _core_number_oracle() -> str:
+    """Unrolled h-index iteration (same fixpoint as peeling; see
+    linkgraph/algorithms/cores.py). Idempotent once converged, so the round
+    count just needs to exceed convergence at the driver's scale factors."""
+    parts = [
+        f"WITH raw AS ({SUPPLY_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw))",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM raw))) AS v)",
+        "c0 AS MATERIALIZED (SELECT u.v, CAST(coalesce(d.d, 0) AS BIGINT) AS c "
+        "FROM univ u LEFT JOIN (SELECT src AS v, count(*) AS d FROM sym GROUP BY src) d "
+        "ON u.v = d.v)",
+    ]
+    for k in range(1, CORE_ORACLE_ROUNDS + 1):
+        p = f"c{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v, max(least(cap, ge)) AS h FROM ("
+            f"SELECT v, cap, sum(n) OVER (PARTITION BY v ORDER BY cap DESC) AS ge "
+            f"FROM (SELECT e.dst AS v, least(cu.c, cv.c) AS cap, count(*) AS n "
+            f"FROM sym e JOIN {p} cu ON e.src = cu.v JOIN {p} cv ON e.dst = cv.v "
+            f"GROUP BY e.dst, least(cu.c, cv.c)) t) t2 GROUP BY v)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT b.v, CAST(coalesce(h.h, b.c) AS BIGINT) AS c "
+            f"FROM {p} b LEFT JOIN h{k} h ON b.v = h.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, c AS core_number FROM c{CORE_ORACLE_ROUNDS}"
+    )
+
+
+ORACLES["core_number"] = _core_number_oracle()
 
 
 # --- round-1 late additions: k-truss (unrolled-peeling oracle), plus
@@ -939,3 +977,53 @@ def _sssp_oracle() -> str:
 
 ORACLES["sssp"] = _sssp_oracle()
 QUERIES["sssp"] = q_sssp
+
+# --- round-2 additions: SCC (recursive-CTE oracle), Leiden, ECG --------------
+
+def q_scc(spark, sf_dir):
+    from .algorithms.scc import strongly_connected_components as _scc
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return _scc(g).select("vertex", "labels")
+
+
+# SCC oracle: transitive closure via recursive CTE (the supply graph is 400
+# vertices, closure fits easily), label = min{u : v->u and u->v} ∪ {v}.
+ORACLES["scc"] = f"""
+    WITH RECURSIVE edges AS ({SUPPLY_EDGES_SQL}),
+    reach(a, b) AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    univ AS (SELECT unnest(generate_series(0,
+             (SELECT max(greatest(src, dst)) FROM edges))) AS v),
+    mutual AS (SELECT r1.a AS v, min(r1.b) AS m
+               FROM reach r1 JOIN reach r2 ON r1.b = r2.a AND r2.b = r1.a
+               GROUP BY r1.a)
+    SELECT u.v AS vertex,
+           CAST(least(u.v, coalesce(m.m, u.v)) AS BIGINT) AS labels
+    FROM univ u LEFT JOIN mutual m ON u.v = m.v
+"""
+QUERIES["scc"] = q_scc
+
+
+def q_leiden(spark, sf_dir):
+    from .algorithms.leiden import leiden as _leiden
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    res, _q = _leiden(g)
+    return res.select("vertex", "partition")
+
+
+def q_ecg(spark, sf_dir):
+    from .algorithms.ecg import ecg as _ecg
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    res, _q = _ecg(g, ensemble_size=4)
+    return res.select("vertex", "partition")
+
+
+QUERIES["leiden"] = q_leiden
+QUERIES["ecg"] = q_ecg
+NO_ORACLE |= {"leiden", "ecg"}

@@ -41,35 +41,50 @@ class Graph:
     def from_edgelist(
         cls,
         edges: DataFrame,
-        src: str = "src",
-        dst: str = "dst",
+        src="src",
+        dst="dst",
         weight: str | None = None,
         directed: bool = False,
         renumber: bool = True,
         multi: bool = False,
         vertices: DataFrame | None = None,
-        vertex_col: str = "vertex",
+        vertex_col="vertex",
     ) -> "Graph":
         """Build a graph from a COO edge DataFrame.
 
         Reference: graph_classes.py:89-149 / simpleGraph.py:84-180 —
-        validate, renumber, symmetrize(dedup-min) in that order.
+        validate, renumber, symmetrize(dedup-min) in that order. ``src``/
+        ``dst`` may be lists of columns (composite external vertex keys,
+        e.g. (host, path) — number_map.py:475-517); composite keys require
+        ``renumber=True``.
         """
-        for c in [src, dst] + ([weight] if weight else []):
+        src_cols = [src] if isinstance(src, str) else list(src)
+        dst_cols = [dst] if isinstance(dst, str) else list(dst)
+        composite = len(src_cols) > 1 or len(dst_cols) > 1
+        if composite and not renumber:
+            raise ValueError("composite vertex keys require renumber=True")
+        for c in src_cols + dst_cols + ([weight] if weight else []):
             if c not in edges.columns:
                 raise ValueError(f"column {c!r} not in edge DataFrame")
         nmap = None
-        cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
-        if weight:
-            cols.append(F.col(weight).cast("double").alias("weight"))
-        e = edges.select(*cols)
-        if renumber:
-            nmap = build_number_map(e, vertices=vertices, vertex_col=vertex_col)
-            e = renumber_edges(e, nmap, weight="weight" if weight else None)
-        else:
-            e = e.withColumn("src", F.col("src").cast("long")).withColumn(
-                "dst", F.col("dst").cast("long")
+        if composite:
+            nmap = build_number_map(
+                edges, src=src_cols, dst=dst_cols,
+                vertices=vertices, vertex_col=vertex_col,
             )
+            e = renumber_edges(edges, nmap, src=src_cols, dst=dst_cols, weight=weight)
+        else:
+            cols = [F.col(src_cols[0]).alias("src"), F.col(dst_cols[0]).alias("dst")]
+            if weight:
+                cols.append(F.col(weight).cast("double").alias("weight"))
+            e = edges.select(*cols)
+            if renumber:
+                nmap = build_number_map(e, vertices=vertices, vertex_col=vertex_col)
+                e = renumber_edges(e, nmap, weight="weight" if weight else None)
+            else:
+                e = e.withColumn("src", F.col("src").cast("long")).withColumn(
+                    "dst", F.col("dst").cast("long")
+                )
         e = symmetrize_edges(
             e,
             weight="weight" if weight else None,
@@ -172,8 +187,7 @@ class Graph:
     # -- point lookups (simpleGraph.py:743-825) ------------------------------
     def has_node(self, n) -> bool:
         if self.renumbered:
-            k = self.nmap.key_cols[0]
-            return self.nmap.map.filter(F.col(k) == n).limit(1).count() > 0
+            return self._to_internal(n) is not None
         return (
             self.edges.filter((F.col("src") == n) | (F.col("dst") == n)).limit(1).count()
             > 0
@@ -189,8 +203,14 @@ class Graph:
         return e.filter((F.col("src") == u) & (F.col("dst") == v)).limit(1).count() > 0
 
     def _to_internal(self, ext):
-        k = self.nmap.key_cols[0]
-        rows = self.nmap.map.filter(F.col(k) == ext).select("vid").collect()
+        ks = self.nmap.key_cols
+        vals = [ext] if len(ks) == 1 else list(ext)
+        if len(vals) != len(ks):
+            raise ValueError(f"expected a {len(ks)}-tuple external key")
+        flt = self.nmap.map
+        for k, v in zip(ks, vals):
+            flt = flt.filter(F.col(k) == v)
+        rows = flt.select("vid").collect()
         return rows[0]["vid"] if rows else None
 
     def neighbors(self, n) -> DataFrame:
@@ -257,6 +277,26 @@ def from_pandas_edgelist(
     )
 
 
+def from_pandas_adjacency(spark, pdf, directed: bool = False) -> Graph:
+    """Reference: from_pandas_adjacency (graph_classes.py:256-312) — square
+    labeled adjacency DataFrame -> nonzero COO with the index labels as
+    external vertex ids (renumbered)."""
+    import numpy as np
+
+    if list(pdf.index) != list(pdf.columns):
+        raise ValueError("adjacency DataFrame must have identical index and columns")
+    a = pdf.to_numpy()
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError("adjacency matrix must be square")
+    labels = list(pdf.index)
+    src, dst = np.nonzero(a)
+    rows = [
+        (labels[int(s)], labels[int(d)], float(a[s, d])) for s, d in zip(src, dst)
+    ]
+    sdf = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    return Graph.from_edgelist(sdf, weight="weight", directed=directed, renumber=True)
+
+
 def from_numpy_array(spark, arr, directed: bool = False, renumber: bool = False) -> Graph:
     """Reference: from_numpy_array — dense adjacency matrix -> nonzero COO
     (graph_classes.py:313-341)."""
@@ -272,3 +312,8 @@ def from_numpy_array(spark, arr, directed: bool = False, renumber: bool = False)
     return Graph.from_edgelist(
         sdf, weight="weight", directed=directed, renumber=renumber
     )
+
+
+def from_numpy_matrix(spark, arr, directed: bool = False, renumber: bool = False) -> Graph:
+    """Reference alias (graph_classes.py:313-341 from_numpy_matrix)."""
+    return from_numpy_array(spark, arr, directed=directed, renumber=renumber)

@@ -6,7 +6,10 @@ import pytest
 
 from conftest import load_csv_edges
 from linkgraph import Graph
-from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.betweenness import (
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 
 
 def oracle_brandes(adj, vertices, normalized, directed, sources=None):
@@ -79,6 +82,71 @@ def test_betweenness_directed(spark):
     }
     for v in verts:
         assert abs(got[v] - exp[v]) < 1e-9
+
+
+def oracle_brandes_edges(adj, vertices, normalized, directed, k=None):
+    """NetworkX-style edge betweenness (undirected: one slot per unordered
+    pair, _rescale_e convention)."""
+    eb = {}
+    for s in vertices:
+        S, P = [], {v: [] for v in vertices}
+        sigma = {v: 0.0 for v in vertices}
+        dist = {v: -1 for v in vertices}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            S.append(v)
+            for w in adj.get(v, []):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = {v: 0.0 for v in vertices}
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                c = sigma[v] / sigma[w] * (1 + delta[w])
+                key = (v, w) if directed else (min(v, w), max(v, w))
+                eb[key] = eb.get(key, 0.0) + c
+                delta[v] += c
+    n = len(vertices)
+    scale = None
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    elif not directed:
+        scale = 0.5
+    if scale is not None:
+        if k is not None and k < n:
+            scale *= n / k
+        eb = {e: v * scale for e, v in eb.items()}
+    return eb
+
+
+@pytest.mark.parametrize("normalized", [True, False])
+def test_edge_betweenness_karate(spark, normalized):
+    g, adj, verts = _graph_and_adj(spark, "karate.csv", directed=False)
+    exp = oracle_brandes_edges(adj, verts, normalized, directed=False)
+    got = {
+        (r.src, r.dst): r.betweenness_centrality
+        for r in edge_betweenness_centrality(g, normalized=normalized).collect()
+    }
+    assert len(got) == 78  # karate edge count, upper triangle
+    for e, v in got.items():
+        assert abs(v - exp.get(e, 0.0)) < 1e-9, f"edge {e}: {v} vs {exp.get(e)}"
+
+
+def test_edge_betweenness_directed(spark):
+    g, adj, verts = _graph_and_adj(spark, "karate-asymmetric.csv", directed=True)
+    exp = oracle_brandes_edges(adj, verts, True, directed=True)
+    got = {
+        (r.src, r.dst): r.betweenness_centrality
+        for r in edge_betweenness_centrality(g, normalized=True).collect()
+    }
+    for e, v in got.items():
+        assert abs(v - exp.get(e, 0.0)) < 1e-9
 
 
 def test_betweenness_sampled_k(spark):

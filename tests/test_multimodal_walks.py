@@ -106,6 +106,61 @@ def test_random_walks_sink_truncation(spark):
     assert res == {(0, 0): 0, (0, 1): 1, (0, 2): 2}  # truncated at sink
 
 
+def test_random_walks_edge_weights_and_rw_path(spark):
+    """Edge-weight path entries must equal the graph's weight for each
+    traversed edge; rw_path reproduces the reference's offset layout."""
+    from linkgraph.algorithms.random_walks import rw_path
+
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False,
+        directed=False,
+    )
+    res = random_walks(g, [0, 1, 33], max_depth=5)
+    rows = sorted(res.collect(), key=lambda r: (r.walk_id, r.step))
+    wmap = {(e.src, e.dst): e.weight for e in g.edges.collect()}
+    paths = {}
+    for r in rows:
+        paths.setdefault(r.walk_id, []).append(r)
+    for wid, p in paths.items():
+        assert p[0].edge_weight is None  # step 0 has no inbound edge
+        for a, b in zip(p, p[1:]):
+            assert b.edge_weight == wmap[(a.vertex, b.vertex)]
+    meta = {r.walk_id: r for r in rw_path(res).collect()}
+    off = 0
+    for wid in sorted(paths):
+        assert meta[wid].path_size == len(paths[wid])
+        assert meta[wid].weight_size == len(paths[wid]) - 1
+        assert meta[wid].vertex_offset == off
+        off += len(paths[wid])
+
+
+def test_random_walks_padding(spark):
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src LONG, dst LONG")
+    g = Graph.from_edgelist(e, renumber=False, directed=True)
+    res = {
+        (r.walk_id, r.step): (r.vertex, r.edge_weight)
+        for r in random_walks(g, [0, 2], max_depth=4, use_padding=True).collect()
+    }
+    # every walk padded to max_depth+1 rows
+    assert set(res) == {(w, s) for w in (0, 1) for s in range(5)}
+    assert res[(0, 0)] == (0, None) and res[(0, 1)] == (1, 1.0) and res[(0, 2)] == (2, 1.0)
+    assert res[(0, 3)] == (-1, 0.0) and res[(0, 4)] == (-1, 0.0)  # pad
+    assert res[(1, 0)] == (2, None) and res[(1, 1)] == (-1, 0.0)  # sink start
+
+
+def test_random_walks_weighted_bias(spark):
+    """With weight 999 vs 1 on the two out-edges, the A-Res pick must choose
+    the heavy edge for nearly all of 64 seeded walks."""
+    e = spark.createDataFrame(
+        [(0, 1, 999.0), (0, 2, 1.0)], "src LONG, dst LONG, weight DOUBLE"
+    )
+    g = Graph.from_edgelist(e, weight="weight", renumber=False, directed=True)
+    res = random_walks(g, [0] * 64, max_depth=1)
+    picks = [r.vertex for r in res.filter("step = 1").collect()]
+    assert len(picks) == 64
+    assert picks.count(1) >= 60, f"heavy edge picked only {picks.count(1)}/64"
+
+
 def oracle_ktruss(edges, k):
     es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
     changed = True

@@ -87,6 +87,60 @@ def test_renumber_string_roundtrip(spark):
     assert got == {("u_a", "u_b"), ("u_b", "u_c"), ("u_a", "u_c")}
 
 
+def test_renumber_composite_key_roundtrip(spark):
+    """Multi-column external vertex ids — (host, path) pairs keyed as a
+    tuple (number_map.py:475-517 column-list capability)."""
+    e = spark.createDataFrame(
+        [
+            ("h1", "/a", "h1", "/b"),
+            ("h1", "/b", "h2", "/a"),
+            ("h2", "/a", "h1", "/a"),
+            ("h1", "/a", "h2", "/a"),
+        ],
+        "sh STRING, sp STRING, dh STRING, dp STRING",
+    )
+    g = Graph.from_edgelist(
+        e, src=["sh", "sp"], dst=["dh", "dp"], renumber=True, directed=True
+    )
+    # vertices: (h1,/a) deg2, (h1,/b) deg1, (h2,/a) deg1 -> dense [0,3)
+    assert g.number_of_vertices() == 3
+    m = {(r.key_0, r.key_1): r.vid for r in g.nmap.map.collect()}
+    assert m[("h1", "/a")] == 0  # max out-degree first
+    assert set(m.values()) == {0, 1, 2}
+    internal = {(r.src, r.dst) for r in g.edges.collect()}
+    assert internal == {
+        (m[("h1", "/a")], m[("h1", "/b")]),
+        (m[("h1", "/b")], m[("h2", "/a")]),
+        (m[("h2", "/a")], m[("h1", "/a")]),
+        (m[("h1", "/a")], m[("h2", "/a")]),
+    }
+    # unrenumber expands into per-key columns
+    back = g.unrenumber(g.unrenumber(g.edges.select("src", "dst"), "src"), "dst")
+    got = {(r.src_0, r.src_1, r.dst_0, r.dst_1) for r in back.collect()}
+    assert got == {
+        ("h1", "/a", "h1", "/b"),
+        ("h1", "/b", "h2", "/a"),
+        ("h2", "/a", "h1", "/a"),
+        ("h1", "/a", "h2", "/a"),
+    }
+    # point lookups take key tuples
+    assert g.has_node(("h2", "/a")) and not g.has_node(("h2", "/zz"))
+    assert g.has_edge(("h1", "/a"), ("h2", "/a"))
+    # pagerank end-to-end on a composite-keyed graph unrenumbers cleanly
+    from linkgraph.algorithms.pagerank import pagerank
+
+    pr = pagerank(g, max_iter=100)
+    assert pr.count() == 3 and {"vertex_0", "vertex_1"} <= set(pr.columns)
+
+
+def test_renumber_composite_requires_renumber(spark):
+    e = spark.createDataFrame([("a", "b", "c", "d")], "sh STRING, sp STRING, dh STRING, dp STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Graph.from_edgelist(e, src=["sh", "sp"], dst=["dh", "dp"], renumber=False)
+
+
 def test_isolated_vertices_renumbered_last(spark):
     """renumber_edgelist_impl.cuh:250-280 — isolated vertices appended after
     non-isolated; here as degree-0 sorting last."""
