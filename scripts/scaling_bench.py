@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cpus: int, scale: int, iters: int) -> None:
+def child(cpus: int, scale: int, iters: int, sp: int) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -38,8 +38,14 @@ def child(cpus: int, scale: int, iters: int) -> None:
     from linkgraph.session import get_spark
     from linkgraph.structure.graph import Graph
 
+    # shuffle_partitions is held CONSTANT across parallelism levels so only
+    # the thread count varies — per-partition row counts (and therefore
+    # partial-agg hash-table sizes / spill behavior) stay identical, making
+    # the N-vs-4N ratio a pure parallelism measurement. With sp=cpus the
+    # local[2] level ran 16.7M-row partitions that spilled, fabricating a
+    # superlinear 2->8 pair.
     spark = get_spark(
-        app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=sp
     )
     spark.sparkContext.setLogLevel("ERROR")
     edges = rmat_edges(spark, scale, 16).cache()
@@ -58,6 +64,7 @@ def child(cpus: int, scale: int, iters: int) -> None:
         json.dumps(
             {
                 "cpus": cpus,
+                "shuffle_partitions": sp,
                 "scale": scale,
                 "edges": E,
                 "iters": len(steady),
@@ -76,26 +83,37 @@ def main() -> None:
     ap.add_argument("--scale", type=int, default=19)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="runs per level; best (min sec/iter) kept — "
+                         "filters shared-box noise (observed +-25%% run-to-run)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--sp", type=int, default=32,
+                    help="shuffle partitions, constant across levels")
     args = ap.parse_args()
     if args.child:
-        child(args.cpus, args.scale, args.iters)
+        child(args.cpus, args.scale, args.iters, args.sp)
         return
 
     levels = [int(x) for x in args.levels.split(",")]
     results = []
     for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--cpus", str(cpus), "--scale", str(args.scale),
-             "--iters", str(args.iters)],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-        print(line)
+        best = None
+        for rep in range(args.repeat):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--cpus", str(cpus), "--scale", str(args.scale),
+                 "--iters", str(args.iters), "--sp", str(args.sp)],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(line)
+            if best is None or r["sec_per_iter"] < best["sec_per_iter"]:
+                best = r
+        best["runs"] = args.repeat
+        results.append(best)
 
     pairs = []
     for a in results:
