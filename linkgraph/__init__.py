@@ -60,6 +60,12 @@ from .algorithms.clustering_metrics import (
     analyze_clustering_modularity,
     analyze_clustering_ratio_cut,
 )
+from .algorithms.spectral import (
+    spectral_balanced_cut_clustering,
+    spectral_modularity_maximization_clustering,
+    spectralBalancedCutClustering,
+    spectralModularityMaximizationClustering,
+)
 from .structure.graph import (
     from_numpy_array,
     from_numpy_matrix,
@@ -140,6 +146,10 @@ __all__ = [
     "louvain",
     "leiden",
     "ecg",
+    "spectral_balanced_cut_clustering",
+    "spectral_modularity_maximization_clustering",
+    "spectralBalancedCutClustering",
+    "spectralModularityMaximizationClustering",
     "lsh_cosine_topk",
     "minhash_dedup",
     "multi_source_bfs",

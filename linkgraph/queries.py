@@ -1027,3 +1027,16 @@ def q_ecg(spark, sf_dir):
 QUERIES["leiden"] = q_leiden
 QUERIES["ecg"] = q_ecg
 NO_ORACLE |= {"leiden", "ecg"}
+
+
+def q_spectral_balanced_cut(spark, sf_dir):
+    """Rows-only (k-means labels aren't SQL-replicable; the eigensolver is
+    pinned against dense numpy eigh in tests/test_spectral.py)."""
+    from .algorithms.spectral import spectral_balanced_cut_clustering
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return spectral_balanced_cut_clustering(g, num_clusters=4, num_eigen_vects=4)
+
+
+QUERIES["spectral_balanced_cut"] = q_spectral_balanced_cut
+NO_ORACLE.add("spectral_balanced_cut")
