@@ -39,6 +39,15 @@ from ..plans import truncate_plan
 from ..structure.graph import Graph
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
+# rank_mode="lcg" constants — the draw is plain BIGINT arithmetic
+# ((A·walk + B·step + C·dst + seed) mod P) so an ANSI-SQL oracle can
+# reproduce the walk BIT-identically (xxhash64 has no SQL twin); used by the
+# driver-contract query, xxhash remains the default for sampling quality.
+RW_LCG_A = 1103515245
+RW_LCG_B = 12345
+RW_LCG_C = 2654435761
+RW_LCG_P = 2147483647
+
 
 def random_walks(
     graph: Graph,
@@ -47,6 +56,7 @@ def random_walks(
     seed: int = 42,
     use_padding: bool = False,
     num_partitions: int | None = None,
+    rank_mode: str = "xxhash",
 ) -> DataFrame:
     """DF[walk_id, step, vertex, edge_weight] — one row per visited vertex
     per walk (step 0 = start, edge_weight = weight of the edge taken INTO
@@ -87,11 +97,20 @@ def random_walks(
             )
             cand = edges.join(f_src, on="src")
             # seeded uniform in (0, 1): hash magnitude, never exactly 0 or 1
-            u = (
-                F.abs(F.xxhash64("walk_id", F.lit(step), "dst", F.lit(seed)))
-                % F.lit(2**31)
-                + F.lit(1)
-            ) / F.lit(float(2**31 + 2))
+            if rank_mode == "lcg":
+                r_int = (
+                    F.lit(RW_LCG_A) * F.col("walk_id")
+                    + F.lit(RW_LCG_B * step)
+                    + F.lit(RW_LCG_C) * F.col("dst")
+                    + F.lit(seed)
+                ) % F.lit(RW_LCG_P)
+                u = (r_int + F.lit(1)) / F.lit(float(RW_LCG_P + 2))
+            else:
+                u = (
+                    F.abs(F.xxhash64("walk_id", F.lit(step), "dst", F.lit(seed)))
+                    % F.lit(2**31)
+                    + F.lit(1)
+                ) / F.lit(float(2**31 + 2))
             if graph.weighted:
                 # A-Res weighted pick: max u^(1/w) == min -ln(u)/w
                 rank = -F.log(u) / F.col("w")

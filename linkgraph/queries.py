@@ -838,13 +838,49 @@ def _ktruss_oracle() -> str:
     )
 
 
+RW_STARTS = 5
+RW_DEPTH = 4
+
+
 def q_random_walks(spark, sf_dir):
+    """rank_mode="lcg" makes the per-step next-hop draw plain BIGINT
+    arithmetic, so the DuckDB oracle replays the ENTIRE walk (frontier join,
+    argmin pick, early sink truncation) value-for-value; the xxhash default
+    and weighted sampling stay pytest-verified (test_multimodal_walks)."""
     from .algorithms.random_walks import random_walks
 
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
-    return random_walks(g, [0, 1, 2, 3, 4], max_depth=4).select(
-        "walk_id", "step", "vertex"
+    return random_walks(
+        g, list(range(RW_STARTS)), max_depth=RW_DEPTH, rank_mode="lcg"
+    ).select("walk_id", "step", "vertex")
+
+
+def _random_walks_oracle() -> str:
+    from .algorithms.random_walks import RW_LCG_A, RW_LCG_B, RW_LCG_C, RW_LCG_P
+
+    seed = 42
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        f"p0 AS (SELECT CAST(w AS BIGINT) AS walk_id, 0 AS step, "
+        f"CAST(w AS BIGINT) AS vertex FROM "
+        f"(SELECT unnest(generate_series(0, {RW_STARTS - 1})) AS w))",
+    ]
+    for k in range(1, RW_DEPTH + 1):
+        parts.append(
+            f"c{k} AS (SELECT p.walk_id, e.dst, "
+            f"({RW_LCG_A} * p.walk_id + {RW_LCG_B * k} + {RW_LCG_C} * e.dst "
+            f"+ {seed}) % {RW_LCG_P} AS r "
+            f"FROM p{k-1} p JOIN edges e ON e.src = p.vertex)"
+        )
+        parts.append(
+            f"p{k} AS (SELECT walk_id, {k} AS step, CAST(dst AS BIGINT) AS vertex "
+            f"FROM (SELECT *, row_number() OVER (PARTITION BY walk_id "
+            f"ORDER BY r, dst) AS rn FROM c{k}) WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, vertex FROM p{k}" for k in range(RW_DEPTH + 1)
     )
+    return ",\n".join(parts) + f"\n{union}"
 
 
 def q_media_image_stats(spark, sf_dir):
@@ -860,6 +896,7 @@ def q_media_image_stats(spark, sf_dir):
 
 
 ORACLES["ktruss"] = _ktruss_oracle()
+ORACLES["random_walks"] = _random_walks_oracle()
 QUERIES.update(
     {
         "ktruss": q_ktruss,
@@ -867,7 +904,7 @@ QUERIES.update(
         "media_image_stats": q_media_image_stats,
     }
 )
-NO_ORACLE |= {"random_walks", "media_image_stats"}
+NO_ORACLE |= {"media_image_stats"}
 
 
 # --- clustering-quality metrics over a deterministic labeling ---------------
