@@ -72,6 +72,20 @@ from .structure.graph import (
     from_pandas_adjacency,
     from_pandas_edgelist,
 )
+from .structure.graph_classes import (
+    BiPartiteDiGraph,
+    BiPartiteGraph,
+    DiGraph,
+    MultiDiGraph,
+    MultiGraph,
+    NPartiteDiGraph,
+    NPartiteGraph,
+    Tree,
+    is_bipartite,
+    is_directed,
+    is_multigraph,
+    is_multipartite,
+)
 from .algorithms.mst import maximum_spanning_tree, minimum_spanning_tree
 from .multimodal import (
     audio_features,
@@ -102,6 +116,18 @@ from .text.dedup import (
 
 __all__ = [
     "Graph",
+    "BiPartiteDiGraph",
+    "BiPartiteGraph",
+    "DiGraph",
+    "MultiDiGraph",
+    "MultiGraph",
+    "NPartiteDiGraph",
+    "NPartiteGraph",
+    "Tree",
+    "is_bipartite",
+    "is_directed",
+    "is_multigraph",
+    "is_multipartite",
     "KatzConvergenceError",
     "NumberMap",
     "PageRankConvergenceError",
