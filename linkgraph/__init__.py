@@ -60,6 +60,7 @@ from .algorithms.clustering_metrics import (
     analyze_clustering_modularity,
     analyze_clustering_ratio_cut,
 )
+from .algorithms.assignment import dense_hungarian, hungarian
 from .algorithms.spectral import (
     spectral_balanced_cut_clustering,
     spectral_modularity_maximization_clustering,
@@ -172,6 +173,8 @@ __all__ = [
     "louvain",
     "leiden",
     "ecg",
+    "hungarian",
+    "dense_hungarian",
     "spectral_balanced_cut_clustering",
     "spectral_modularity_maximization_clustering",
     "spectralBalancedCutClustering",
