@@ -61,6 +61,7 @@ from .algorithms.clustering_metrics import (
     analyze_clustering_ratio_cut,
 )
 from .algorithms.assignment import dense_hungarian, hungarian
+from .layout import force_atlas2
 from .algorithms.spectral import (
     spectral_balanced_cut_clustering,
     spectral_modularity_maximization_clustering,
@@ -175,6 +176,7 @@ __all__ = [
     "ecg",
     "hungarian",
     "dense_hungarian",
+    "force_atlas2",
     "spectral_balanced_cut_clustering",
     "spectral_modularity_maximization_clustering",
     "spectralBalancedCutClustering",
