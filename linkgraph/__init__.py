@@ -74,6 +74,7 @@ from .structure.graph import (
     from_pandas_adjacency,
     from_pandas_edgelist,
 )
+from .structure.bicliques import find_bicliques
 from .structure.graph_classes import (
     BiPartiteDiGraph,
     BiPartiteGraph,
@@ -177,6 +178,7 @@ __all__ = [
     "hungarian",
     "dense_hungarian",
     "force_atlas2",
+    "find_bicliques",
     "spectral_balanced_cut_clustering",
     "spectral_modularity_maximization_clustering",
     "spectralBalancedCutClustering",

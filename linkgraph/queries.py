@@ -1077,3 +1077,37 @@ def q_spectral_balanced_cut(spark, sf_dir):
 
 QUERIES["spectral_balanced_cut"] = q_spectral_balanced_cut
 NO_ORACLE.add("spectral_balanced_cut")
+
+
+def q_betweenness(spark, sf_dir):
+    """Rows-only (Brandes' dependency accumulation isn't SQL-unrollable at
+    reasonable oracle size; pinned against a pure-Python Brandes oracle in
+    tests/test_betweenness.py). Exact (k=None), scaled-int output."""
+    from .algorithms.betweenness import betweenness_centrality
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return betweenness_centrality(g).select(
+        "vertex",
+        F.round(F.col("betweenness_centrality") * 1e7).cast("long").alias("bc_e7"),
+    )
+
+
+def q_mst(spark, sf_dir):
+    """Rows-only (Borůvka tree choice among equal-weight edges is
+    tie-broken internally; pytest checks total weight + forest shape vs a
+    pure-Python Kruskal oracle in tests/test_scc_mst.py)."""
+    from .algorithms.mst import minimum_spanning_tree
+
+    e = supply_edges(spark, sf_dir).select(
+        "src", "dst",
+        ((F.col("src") * 7919 + F.col("dst")) % 97 + 1).cast("double").alias("weight"),
+    )
+    g = Graph.from_edgelist(e, weight="weight", directed=False, renumber=False)
+    return minimum_spanning_tree(g).select(
+        "src", "dst", F.col("weight").cast("long").alias("w_i")
+    )
+
+
+QUERIES["betweenness"] = q_betweenness
+QUERIES["mst"] = q_mst
+NO_ORACLE |= {"betweenness", "mst"}

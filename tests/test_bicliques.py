@@ -1,0 +1,55 @@
+"""find_bicliques heuristic vs planted bicliques (proto/structure/bicliques.py)."""
+
+import pytest
+
+from linkgraph.structure.bicliques import find_bicliques
+
+
+def _bipartite(spark):
+    rows = []
+    # planted biclique: machines 0..9 x features 100..104 (complete)
+    for m in range(10):
+        for f in range(100, 105):
+            rows.append((m, f, 1 if m < 2 else 0))
+    # noise: machines 20..24 each with a private feature
+    for m in range(20, 25):
+        rows.append((m, 200 + m, 0))
+    return spark.createDataFrame(rows, "src LONG, dst LONG, flag INT")
+
+
+def test_finds_planted_biclique(spark):
+    df = _bipartite(spark)
+    B, S = find_bicliques(df, k=3, support=1.0, min_features=2, min_machines=5)
+    s = S.collect()
+    # all 5 planted features share the same machine set: the first is
+    # emitted, consecutive identical machine-sets are skipped
+    assert len(s) == 1
+    st = s[0]
+    assert st.machines == 10 and st.features == 5 and st.total == 15
+    assert st.bad_ratio == pytest.approx(2 / 15)  # reference divides by total
+    b = B.collect()
+    assert {r.vert for r in b if r.type == 0} == set(range(10))
+    assert {r.vert for r in b if r.type == 1} == set(range(100, 105))
+    assert all(r.id == 0 for r in b)
+
+
+def test_k_and_guards(spark):
+    df = _bipartite(spark)
+    with pytest.raises(NameError):
+        find_bicliques(df.select("src", "dst"), k=1)
+    with pytest.raises(NameError):
+        find_bicliques(df, k=1, support=0.01)
+    # min_machines too high: nothing qualifies
+    B, S = find_bicliques(df, k=3, min_machines=50)
+    assert S.count() == 0 and B.count() == 0
+
+
+def test_offset_and_support(spark):
+    df = _bipartite(spark)
+    # offset shifts dst; support < 1 admits partial-overlap features
+    shifted = df.selectExpr("src", "dst + 1000 AS dst", "flag")
+    B, S = find_bicliques(
+        shifted, k=1, offset=1000, support=0.5, min_features=2, min_machines=5
+    )
+    assert S.count() == 1
+    assert {r.vert for r in B.collect() if r.type == 1} == set(range(100, 105))
