@@ -193,6 +193,9 @@ def hungarian(
         on="job",
         how="left_anti",
     )
+    # parallel edges (MultiGraph skips dedup): the cheapest one defines the
+    # pair's cost — also keeps the matched-join below one-row-per-pair
+    pairs = pairs.groupBy("worker", "job").agg(F.min("cost").alias("cost"))
     int_costs = (
         pairs.filter(F.col("cost") != F.floor("cost")).limit(1).count() == 0
     )

@@ -50,13 +50,7 @@ from ..structure.graph import Graph
 from .pagerank import no_aqe, pick_partitions
 
 
-def _hash_uniform(col, seed: int):
-    """Partitioning-independent uniform(0,1) per row — F.rand() seeds per
-    PARTITION, so its draw changes with parallelism; xxhash64 of the vertex
-    id does not (same rule as generators._hash_uniform)."""
-    return (F.abs(F.xxhash64(col, F.lit(seed))) % F.lit(1_000_000_007)) / F.lit(
-        1_000_000_007.0
-    )
+from ..deterministic import hash_uniform as _hash_uniform
 
 
 def _weighted_edges(graph: Graph) -> DataFrame:
@@ -233,7 +227,7 @@ def _kmeans(
         centroids.append(list(nxt))
 
     assigned = None
-    for _ in range(max_iter):
+    for _ in range(max(max_iter, 1)):  # ≥1: always produce an assignment
         mind = F.array(*[dist2(c) for c in centroids])
         assigned = emb.select(
             "vertex",

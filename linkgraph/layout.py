@@ -39,16 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .algorithms.pagerank import no_aqe, pick_partitions
+from .deterministic import hash_uniform as _hash_uniform
 from .plans import truncate_plan
 from .structure.graph import Graph
 
 EXACT_REPULSION_MAX_V = 20_000
-
-
-def _hash_uniform(col, seed: int):
-    return (F.abs(F.xxhash64(col, F.lit(seed))) % F.lit(1_000_000_007)) / F.lit(
-        1_000_000_007.0
-    )
 
 
 def force_atlas2(
@@ -113,13 +108,26 @@ def force_atlas2(
         )
         .select("vertex", (F.coalesce("deg", F.lit(0)) + F.lit(1.0)).alias("m"))
     )
+    init = g.vertices().select(
+        "vertex",
+        (_hash_uniform(F.col("vertex"), seed) * 2.0 - 1.0).alias("x"),
+        (_hash_uniform(F.col("vertex"), seed + 1) * 2.0 - 1.0).alias("y"),
+    )
     if pos_list is not None:
-        init = pos_list.select("vertex", "x", "y")
-    else:
-        init = g.vertices().select(
+        # pos_list carries EXTERNAL ids (the reference contract); map to the
+        # internal space the loop runs in, and keep the hash seed for any
+        # vertex the list doesn't cover
+        given = pos_list.select(
+            "vertex", F.col("x").alias("gx"), F.col("y").alias("gy")
+        )
+        if g.renumbered:
+            given = g.nmap.add_internal_vertex_id(
+                given, "vertex", "__vid__"
+            ).withColumnRenamed("__vid__", "vertex")
+        init = init.join(given, on="vertex", how="left").select(
             "vertex",
-            (_hash_uniform(F.col("vertex"), seed) * 2.0 - 1.0).alias("x"),
-            (_hash_uniform(F.col("vertex"), seed + 1) * 2.0 - 1.0).alias("y"),
+            F.coalesce("gx", "x").alias("x"),
+            F.coalesce("gy", "y").alias("y"),
         )
     pos = truncate_plan(
         init.join(mass, on="vertex")

@@ -154,20 +154,31 @@ class BiPartiteGraph(NPartiteGraph):
     def add_nodes_from(self, nodes, bipartite: str | None = None, **kw) -> None:
         if bipartite is None and "multipartite" not in kw:
             raise ValueError("BiPartiteGraph partitions need bipartite=<name>")
-        super().add_nodes_from(nodes, bipartite=bipartite, **kw)
         named = {k for k in self._partitions if k != "all_nodes"}
-        if len(named) > 2:
+        if bipartite is not None and bipartite not in named and len(named) >= 2:
+            # validate BEFORE storing — a rejected call must not corrupt sets()
             raise ValueError("bipartite graph cannot have more than 2 partitions")
+        super().add_nodes_from(nodes, bipartite=bipartite, **kw)
 
 
 @dataclass
 class BiPartiteDiGraph(BiPartiteGraph):
     directed: bool = True
 
+    @classmethod
+    def from_edgelist(cls, edges, *args, **kw):
+        kw["directed"] = True
+        return super().from_edgelist(edges, *args, **kw)
+
 
 @dataclass
 class NPartiteDiGraph(NPartiteGraph):
     directed: bool = True
+
+    @classmethod
+    def from_edgelist(cls, edges, *args, **kw):
+        kw["directed"] = True
+        return super().from_edgelist(edges, *args, **kw)
 
 
 def is_directed(G: Graph) -> bool:

@@ -99,6 +99,17 @@ def test_hungarian_renumbered_external_ids(spark):
     assert got == {"w1": "jB", "w2": "jA"}
 
 
+def test_hungarian_multigraph_parallel_edges(spark):
+    from linkgraph.structure.graph_classes import MultiGraph
+
+    rows = [(0, 10, 5.0), (0, 10, 3.0), (1, 11, 2.0)]  # parallel 0-10 edges
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    g = MultiGraph.from_edgelist(df, weight="weight", directed=False, renumber=False)
+    cost, res = hungarian(g, [0, 1])
+    assert cost == 5.0  # min(5,3) + 2 — not inflated by the duplicate edge
+    assert res.count() == 2
+
+
 def test_unweighted_graph_rejected(spark):
     g = Graph.from_edgelist(
         spark.createDataFrame([(0, 1)], "src LONG, dst LONG"), renumber=False

@@ -65,6 +65,9 @@ def test_bipartite_partitions(spark):
     assert {r.vertex for r in s["left"].collect()} == {0, 1, 2}
     with pytest.raises(ValueError):
         g.add_nodes_from([5], bipartite="third")
+    assert sorted(g.sets()) == ["left", "right"]  # rejected call stored nothing
+    g.add_nodes_from([0, 1], bipartite="left")  # replacing an existing set is fine
+    assert {r.vertex for r in g.sets()["left"].collect()} == {0, 1}
     with pytest.raises(ValueError):
         g.add_nodes_from([5])  # bipartite name required
 
@@ -82,6 +85,17 @@ def test_npartite_partitions_and_guards(spark):
     # DataFrame input accepted
     g.add_nodes_from(spark.createDataFrame([(0,), (10,)], ["v"]))
     assert "all_nodes" in g.sets()
+
+
+def test_npartite_directed_variants(spark):
+    from linkgraph.structure.graph_classes import BiPartiteDiGraph, NPartiteDiGraph
+
+    df = _edges(spark, [(0, 10), (0, 11)])
+    b = BiPartiteDiGraph.from_edgelist(df, renumber=False)
+    n = NPartiteDiGraph.from_edgelist(df, renumber=False)
+    assert b.directed and n.directed
+    assert b.edges.count() == 2  # NOT symmetrized
+    assert is_bipartite(b) and is_multipartite(n)
 
 
 def test_plain_graph_predicates(spark):

@@ -97,3 +97,10 @@ def test_fa2_pos_list_and_renumbered(spark):
     g = Graph.from_edgelist(df, src="s", dst="d", directed=False, renumber=True)
     out = force_atlas2(g, max_iter=3)
     assert {r.vertex for r in out.collect()} == {"a", "b", "c"}
+    # pos_list uses EXTERNAL ids and may be partial (others get hash seeds)
+    pl = spark.createDataFrame([("a", 5.0, 5.0), ("b", -5.0, -5.0)],
+                               "vertex STRING, x DOUBLE, y DOUBLE")
+    warm = force_atlas2(g, max_iter=0, pos_list=pl)
+    ps = {r.vertex: (r.x, r.y) for r in warm.collect()}
+    assert ps["a"] == (5.0, 5.0) and ps["b"] == (-5.0, -5.0)
+    assert "c" in ps and abs(ps["c"][0]) <= 1.0  # hash-seeded in [-1, 1]
