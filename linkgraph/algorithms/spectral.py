@@ -259,7 +259,12 @@ def _kmeans(
     return out
 
 
-def _prep(graph: Graph, num_clusters: int, num_eigen_vects: int):
+def _prep(
+    graph: Graph,
+    num_clusters: int,
+    num_eigen_vects: int,
+    num_partitions: int | None = None,
+):
     if num_clusters < 2:
         raise ValueError("num_clusters must be > 1 (reference contract)")
     if num_eigen_vects > num_clusters:
@@ -268,7 +273,7 @@ def _prep(graph: Graph, num_clusters: int, num_eigen_vects: int):
         raise ValueError("spectral clustering requires an undirected graph")
     spark = graph.edges.sparkSession
     edges = _weighted_edges(graph)
-    nparts = pick_partitions(spark, graph.edges.count(), None)
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = edges.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
     verts = graph.vertices().repartition(nparts, "vertex")
@@ -291,6 +296,7 @@ def spectral_balanced_cut_clustering(
     kmean_tolerance: float = 1.0e-5,
     kmean_max_iter: int = 100,
     seed: int = 17,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Balanced-cut spectral clustering → DF[vertex, cluster].
 
@@ -298,7 +304,7 @@ def spectral_balanced_cut_clustering(
     ``num_eigen_vects`` eigenvectors of L = D − W (obtained as the largest
     of σI − L, σ = 2·d_max by Gershgorin), then k-means on the embedding.
     """
-    spark, edges, verts, deg, nparts = _prep(graph, num_clusters, num_eigen_vects)
+    spark, edges, verts, deg, nparts = _prep(graph, num_clusters, num_eigen_vects, num_partitions)
     sigma = 2.0 * (deg.agg(F.max("deg")).collect()[0][0] or 1.0)
     # Op = σI − L = W + (σ − deg) on the diagonal — PSD, extremes flipped
     diag = deg.select("vertex", (F.lit(sigma) - F.col("deg")).alias("dg"))
@@ -330,6 +336,7 @@ def spectral_modularity_maximization_clustering(
     kmean_tolerance: float = 1.0e-5,
     kmean_max_iter: int = 100,
     seed: int = 17,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Modularity-maximization spectral clustering → DF[vertex, cluster].
 
@@ -337,7 +344,7 @@ def spectral_modularity_maximization_clustering(
     ``num_eigen_vects`` eigenvectors of B = W − d dᵀ/2m (the rank-one term
     enters the matvec as the scalar d·x — never materialized), then k-means.
     """
-    spark, edges, verts, deg, nparts = _prep(graph, num_clusters, num_eigen_vects)
+    spark, edges, verts, deg, nparts = _prep(graph, num_clusters, num_eigen_vects, num_partitions)
     m2 = edges.agg(F.sum("w")).collect()[0][0] or 1.0  # = 2m on symmetric COO
     diag = deg.select("vertex", F.lit(0.0).alias("dg"))
     rank_one = deg.select("vertex", F.col("deg").alias("d"))

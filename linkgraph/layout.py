@@ -63,7 +63,7 @@ def force_atlas2(
     verbose: bool = False,
     callback=None,
     seed: int = 42,
-    grid_cells: int = 256,
+    grid_cells: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns DF[vertex, x, y] (external ids when renumbered) — reference
@@ -136,6 +136,13 @@ def force_atlas2(
         .repartition(nparts, "vertex")
     )
     speed, speed_eff = 1.0, 1.0
+    # grid size: far-field work is V·C rows, near-field ≈ 9·V²/C (uniform
+    # occupancy) — the sum is minimized at C ≈ 3·√V. Clamped so the cell
+    # table stays broadcast-small; overall repulsion cost is then O(V^1.5)
+    # rows per iteration (vs the quadtree's V log V — the price of staying
+    # in pure DataFrame ops; measured 22 s/iter at V=131k, local[32]).
+    if grid_cells is None:
+        grid_cells = min(max(64, int(3 * math.sqrt(max(V, 1)))), 4096)
     n_side = max(2, int(math.sqrt(grid_cells)))
 
     if callback is not None and hasattr(callback, "on_preprocess_end"):

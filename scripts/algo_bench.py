@@ -74,6 +74,19 @@ def main() -> None:
         "rows": multi_source_bfs(g_dir, list(range(64)), depth_limit=3).count()
     })
 
+    # round-2 additions — scale evidence for the new operators
+    from linkgraph.algorithms.spectral import spectral_balanced_cut_clustering
+    from linkgraph.layout import force_atlas2
+
+    timed("spectral_k4", lambda: {
+        "rows": spectral_balanced_cut_clustering(
+            g_und, num_clusters=4, num_eigen_vects=4
+        ).count()
+    })
+    timed("fa2_10it", lambda: {
+        "rows": force_atlas2(g_und, max_iter=10).count()
+    })
+
     print(json.dumps({
         "metric": "linkgraph_algo_bench",
         "scale": args.scale, "edges": E, "vertices": V, "cpus": args.cpus,

@@ -52,3 +52,38 @@ def test_multi_source_bfs(spark):
     assert d[(0, 0)] == 0 and d[(100, 100)] == 0
     # balls stay in their own components
     assert all(s < 100 and v < 100 or (s >= 100 and v >= 100) for s, v in d)
+
+
+def test_spectral_identical_across_partitionings(spark):
+    from linkgraph import spectral_balanced_cut_clustering
+
+    g = _g(spark)
+    a = {r.vertex: r.cluster for r in spectral_balanced_cut_clustering(
+        g, num_clusters=2, num_partitions=1).collect()}
+    b = {r.vertex: r.cluster for r in spectral_balanced_cut_clustering(
+        g, num_clusters=2, num_partitions=8).collect()}
+    # labels are k-means ids; partition structure must match exactly
+    from collections import defaultdict
+
+    def sets(d):
+        out = defaultdict(set)
+        for v, c in d.items():
+            out[c].add(v)
+        return sorted(out.values(), key=min)
+
+    assert sets(a) == sets(b)
+
+
+def test_fa2_close_across_partitionings(spark):
+    from linkgraph import force_atlas2
+
+    g = _g(spark)
+    a = {r.vertex: (r.x, r.y) for r in force_atlas2(
+        g, max_iter=5, num_partitions=1).collect()}
+    b = {r.vertex: (r.x, r.y) for r in force_atlas2(
+        g, max_iter=5, num_partitions=8).collect()}
+    # float force sums reorder across partitionings -> allclose, not bitwise
+    assert all(
+        abs(a[v][0] - b[v][0]) < 1e-6 and abs(a[v][1] - b[v][1]) < 1e-6
+        for v in a
+    )
