@@ -1111,3 +1111,37 @@ def q_mst(spark, sf_dir):
 QUERIES["betweenness"] = q_betweenness
 QUERIES["mst"] = q_mst
 NO_ORACLE |= {"betweenness", "mst"}
+
+
+SESSION_GAP_MINUTES = 30
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch form of the applyInPandasWithState
+    streaming operator — linkgraph/streaming.py; the two are pytest-checked
+    for identical output)."""
+    from .streaming import sessionize_events_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_events_batch(ev, gap_minutes=SESSION_GAP_MINUTES)
+
+
+ORACLES["events_sessions"] = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, sum(new_sess)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sn
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_e2
+    FROM s GROUP BY user_id, sn
+"""
+QUERIES["events_sessions"] = q_events_sessions

@@ -90,3 +90,135 @@ def stream_hourly_event_rollup(
             "value_sum",
         )
     )
+
+
+def sessionize_events_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization, batch form: events of one user belong to
+    one session while consecutive gaps stay under ``gap_minutes``.
+
+    Returns DF[user_id, session_start, session_end, n_events, value_sum].
+    Classic lag + cumulative-sum shape — fully SQL-expressible, so this
+    variant carries a value-checked DuckDB oracle in the driver contract
+    (`events_sessions`); the streaming variant below shares its semantics
+    and is pytest-checked for parity against this one.
+
+    The per-user window sort is the textbook sessionization plan; per-user
+    event counts are bounded (activity per user), so the window never sees
+    the global skew a per-key sort of the whole table would.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic, not epoch casts: ts is TIMESTAMP_NTZ, and
+    # ts − lag(ts) > INTERVAL works identically (and timezone-independently)
+    # in Spark and the DuckDB oracle, at full microsecond precision
+    prev = F.lag("ts").over(w)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            prev.isNull()
+            | (F.col("ts") - prev > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_no", F.sum("new_sess").over(w))
+    return (
+        flagged.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_sum_e2"),
+        )
+        .drop("session_no")
+    )
+
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum_e2", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),   # session start, µs epoch
+        T.StructField("last_us", T.LongType()),    # last event, µs epoch
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+
+def stream_sessionize_events(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-user session state (start, last-seen, count, sum) lives in the
+    state store; a session row is emitted when a later event exceeds the
+    gap, or when the event-time timeout fires (watermark passed
+    last + gap) for sessions with no successor. Semantics identical to
+    ``sessionize_events_batch`` (pytest parity check).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        out = []
+
+        def close(s):
+            out.append(
+                (
+                    user_id,
+                    pd.Timestamp(s[0], unit="us"),
+                    pd.Timestamp(s[1], unit="us"),
+                    s[2],
+                    int(round(s[3] * 100)),
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                close(state.get)
+                state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+            for ts, val in zip(rows["ts"], rows["value"]):
+                us = ts.value // 1000
+                if cur is not None and us - cur[1] > gap_us:
+                    close(cur)
+                    cur = None
+                if cur is None:
+                    cur = (us, us, 1, float(val))
+                else:
+                    cur = (cur[0], us, cur[2] + 1, cur[3] + float(val))
+            state.update(cur)
+            # event-time timeout: fire once the watermark passes last + gap
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SESSION_OUT_SCHEMA.fields]
+            )
+
+    ev = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -123,3 +123,46 @@ def test_stream_hourly_rollup(tmp_path, spark):
         batch.select("window_start", "event_type", "n_events")
     )
     assert merged.count() == 0
+
+
+def test_sessionize_batch_vs_streaming_parity(tmp_path, spark):
+    """The applyInPandasWithState sessionizer must agree with the batch
+    (lag+cumsum) sessionizer. In a single availableNow batch, every session
+    except each user's LAST gets closed in-batch (the last would need the
+    watermark to advance past its timeout), so parity is checked on the
+    batch result minus each user's final session."""
+    from pyspark.sql import Window
+
+    from linkgraph.streaming import (
+        sessionize_events_batch,
+        stream_sessionize_events,
+    )
+
+    ev_dir = str(tmp_path / "sess_events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(ev_dir)
+
+    got_q = (
+        stream_sessionize_events(spark, ev_dir, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got_q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions")
+
+    batch = sessionize_events_batch(
+        spark.read.parquet(ev_dir), gap_minutes=30
+    )
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn(
+        "last_end", F.max("session_end").over(w)
+    ).filter(F.col("session_end") != F.col("last_end")).drop("last_end")
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "value_sum_e2"]
+    assert closed.count() > 0
+    diff = closed.select(cols).exceptAll(got.select(cols))
+    assert diff.count() == 0, "batch-closed sessions missing from streaming output"
+    extra = got.select(cols).exceptAll(batch.select(cols))
+    assert extra.count() == 0, "streaming emitted sessions the batch path lacks"
