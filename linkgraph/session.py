@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # pinned so LTZ timestamp arithmetic (streaming state, watermarks)
+        # is machine-timezone- and DST-independent; batch parquet columns
+        # infer as TIMESTAMP_NTZ and are unaffected either way
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local mode runs executors inside the driver JVM: size the heap for

@@ -172,8 +172,16 @@ def stream_sessionize_events(
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdf_iter, state):
+        import math
+
         (user_id,) = key
         out = []
+
+        def half_up_e2(x: float) -> int:
+            # Spark F.round / DuckDB round are HALF-UP (away from zero);
+            # Python round() is banker's — 12.5 would round 12 vs their 13
+            n = math.floor(abs(x) * 100 + 0.5)
+            return n if x >= 0 else -n
 
         def close(s):
             out.append(
@@ -182,7 +190,7 @@ def stream_sessionize_events(
                     pd.Timestamp(s[0], unit="us"),
                     pd.Timestamp(s[1], unit="us"),
                     s[2],
-                    int(round(s[3] * 100)),
+                    half_up_e2(s[3]),
                 )
             )
 
@@ -201,7 +209,18 @@ def stream_sessionize_events(
                 if cur is None:
                     cur = (us, us, 1, float(val))
                 else:
-                    cur = (cur[0], us, cur[2] + 1, cur[3] + float(val))
+                    # min/max, not overwrite: a within-watermark LATE event
+                    # from a later micro-batch must extend the session's
+                    # span backward without regressing its end (an
+                    # overwrite corrupted later gap checks). One open
+                    # session per user is the state contract — a late event
+                    # older than watermark is dropped by Spark upstream.
+                    cur = (
+                        min(cur[0], us),
+                        max(cur[1], us),
+                        cur[2] + 1,
+                        cur[3] + float(val),
+                    )
             state.update(cur)
             # event-time timeout: fire once the watermark passes last + gap
             state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
