@@ -98,7 +98,14 @@ from .multimodal import (
     sample_video_frames,
 )
 from .streaming import stream_hourly_event_rollup, stream_pages_to_edges
-from .similarity import cosine_topk, hyperplane_signatures, lsh_cosine_topk
+from .similarity import (
+    cosine_topk,
+    hyperplane_signatures,
+    ivf_assign,
+    ivf_cosine_topk,
+    ivf_train_centroids,
+    lsh_cosine_topk,
+)
 from .text.analysis import (
     bpe_ish_token_count,
     fingerprint,
@@ -184,6 +191,9 @@ __all__ = [
     "spectralBalancedCutClustering",
     "spectralModularityMaximizationClustering",
     "lsh_cosine_topk",
+    "ivf_assign",
+    "ivf_cosine_topk",
+    "ivf_train_centroids",
     "minhash_dedup",
     "multi_source_bfs",
     "bfs_edges",

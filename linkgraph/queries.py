@@ -1126,6 +1126,22 @@ def q_events_sessions(spark, sf_dir):
     return sessionize_events_batch(ev, gap_minutes=SESSION_GAP_MINUTES)
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """Rows-only (trained-quantizer cells aren't SQL-replicable; recall is
+    pinned vs brute force in tests/test_text_similarity.py)."""
+    from .similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(
+        emb, queries, k=10, n_cells=32, nprobe=4
+    ).select("query_id", "neighbor_id", "rnk")
+
+
+QUERIES["emb_ivf_topk"] = q_emb_ivf_topk
+NO_ORACLE.add("emb_ivf_topk")
+
+
 ORACLES["events_sessions"] = f"""
     WITH o AS (
         SELECT user_id, ts, event_id, value,

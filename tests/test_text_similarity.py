@@ -198,3 +198,27 @@ def test_minhash_recall_vs_bruteforce(spark):
                     assert (ms[i], ms[j]) in exact, (
                         f"cluster {c} contains non-similar pair {(ms[i], ms[j])}"
                     )
+
+
+def test_ivf_topk_recall(spark, emb):
+    from linkgraph.similarity import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_cosine_topk(emb, queries, k=5, n_cells=8, nprobe=2)
+    rows_e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows_a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(rows_e & rows_a) / len(rows_e)
+    # 4 well-separated clusters vs 8 trained cells + 2 probes: near-exact
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_ivf_deterministic_across_runs(spark, emb):
+    from linkgraph.similarity import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = {(r.query_id, r.rnk, r.neighbor_id)
+         for r in ivf_cosine_topk(emb, queries, k=3, n_cells=8).collect()}
+    b = {(r.query_id, r.rnk, r.neighbor_id)
+         for r in ivf_cosine_topk(emb, queries, k=3, n_cells=8).collect()}
+    assert a == b
