@@ -177,158 +177,20 @@ def lsh_cosine_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = _with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")),
-        "qe",
-        "qn",
-    )
-    b = _with_norm(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("be")
-        ),
-        "be",
-        "bn",
-    )
-    sims = (
-        cand.join(F.broadcast(q), on="query_id")
-        .join(b, on="neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.expr(_DOT) / (F.col("qn") * F.col("bn"))).alias("cosine"),
-        )
-    )
-    final = (
-        sims.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("cosine", "neighbor_id")), asc=False
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.posexplode("top").alias("pos", "t"))
-        .select(
-            "query_id",
-            F.col("t.neighbor_id").alias("neighbor_id"),
-            F.col("t.cosine").alias("cosine"),
-            (F.col("pos") + 1).cast("long").alias("rnk"),
-        )
-    )
-    return final
+    return _exact_rerank_topk(cand, embeddings, queries, k, id_col, vec_col)
 
 
-# ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — the coarse-quantizer scale path
-# ---------------------------------------------------------------------------
-
-def ivf_train_centroids(
-    embeddings: DataFrame,
-    n_cells: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_per_cell: int = 64,
-    max_iter: int = 20,
-    seed: int = 42,
-) -> np.ndarray:
-    """Train the spherical-k-means coarse quantizer on a deterministic
-    sample (the standard IVF recipe — FAISS trains its quantizer on a
-    bounded sample too, so driver-side numpy here is the honest analogue,
-    not a scale cheat: the sample is ``n_cells * sample_per_cell`` rows
-    regardless of corpus size). Sampling is xxhash-keyed, so the same
-    centroids come out at any partitioning. Returns (n_cells, dim) UNIT
-    row vectors."""
-    from .deterministic import hash_uniform
-
-    n_sample = n_cells * sample_per_cell
-    total = embeddings.count()
-    frac = min(1.0, (2.0 * n_sample) / max(total, 1))
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .filter(hash_uniform(F.col(id_col), seed) < frac)
-        .limit(n_sample)
-        .collect()
-    )
-    x = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
-    for _ in range(max_iter):
-        assign = np.argmax(x @ cents.T, axis=1)
-        new = np.zeros_like(cents)
-        for c in range(len(cents)):
-            m = x[assign == c]
-            new[c] = m.mean(axis=0) if len(m) else cents[c]
-        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
-        if np.allclose(new, cents, atol=1e-9):
-            cents = new
-            break
-        cents = new
-    return cents
-
-
-def ivf_assign(
-    embeddings: DataFrame,
-    centroids: np.ndarray,
-    nprobe: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """DF[id, cell] — top-``nprobe`` cells by centroid dot product per
-    vector (nprobe=1 for indexing, >1 for query probing). Arrow-batched;
-    centroids ride to executors as a closure constant (n_cells × dim
-    doubles)."""
-    c = centroids.astype(np.float64)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vecs = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-            dots = vecs @ c.T  # (n, n_cells)
-            top = np.argsort(-dots, axis=1)[:, :nprobe]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().repeat(nprobe),
-                    "cell": top.reshape(-1),
-                }
-            )
-
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, cell long"
-    )
-
-
-def ivf_cosine_topk(
+def _exact_rerank_topk(
+    cand: DataFrame,
     embeddings: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    n_cells: int = 64,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF approximate top-k: candidates restricted to the query's
-    ``nprobe`` nearest quantizer cells, exact cosine rerank inside —
-    the inverted-list partitioning FAISS-style IVF uses, expressed as a
-    cell equi-join. Complements ``lsh_cosine_topk``: IVF adapts its
-    partition boundaries to the data (trained quantizer) where LSH uses
-    data-oblivious hyperplanes."""
-    cents = ivf_train_centroids(
-        embeddings, n_cells, id_col, vec_col, seed=seed
-    )
-    lists = ivf_assign(embeddings, cents, 1, id_col, vec_col)
-    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col)
-    cand = (
-        probes.withColumnRenamed(id_col, "query_id")
-        .join(lists.withColumnRenamed(id_col, "neighbor_id"), on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    """Shared ANN tail: exact cosine over candidate (query, neighbor) pairs
+    + per-query top-k — one codepath for every bucketed tier (LSH, IVF) so
+    rerank semantics can never diverge between them."""
     q = _with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")),
         "qe",
@@ -369,3 +231,118 @@ def ivf_cosine_topk(
             (F.col("pos") + 1).cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_per_cell: int = 64,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the spherical-k-means coarse quantizer on a deterministic
+    sample (the standard IVF recipe — FAISS trains its quantizer on a
+    bounded sample too, so driver-side numpy here is the honest analogue,
+    not a scale cheat: the sample is ``n_cells * sample_per_cell`` rows
+    regardless of corpus size). Sampling is xxhash-keyed, so the same
+    centroids come out at any partitioning. Returns (n_cells, dim) UNIT
+    row vectors."""
+    from .deterministic import hash_uniform
+
+    n_sample = n_cells * sample_per_cell
+    # orderBy(hash, id): the SAME n_sample rows in the SAME order at any
+    # partitioning — filter+limit would take a partition-order-dependent
+    # subset and break the determinism guarantee (and this needs no count)
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(hash_uniform(F.col(id_col), seed), F.col(id_col))
+        .limit(n_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty embeddings table")
+    x = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(x @ cents.T, axis=1)
+        new = np.zeros_like(cents)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            new[c] = m.mean(axis=0) if len(m) else cents[c]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF[id, cell] — top-``nprobe`` cells by centroid dot product per
+    vector (nprobe=1 for indexing, >1 for query probing). Arrow-batched;
+    centroids ride to executors as a closure constant (n_cells × dim
+    doubles)."""
+    c = centroids.astype(np.float64)
+    p = min(nprobe, c.shape[0])  # fewer trained cells than probes on tiny corpora
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            dots = vecs @ c.T  # (n, n_cells)
+            top = np.argsort(-dots, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(p),
+                    "cell": top.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, cell long"
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to the query's
+    ``nprobe`` nearest quantizer cells, exact cosine rerank inside —
+    the inverted-list partitioning FAISS-style IVF uses, expressed as a
+    cell equi-join. Complements ``lsh_cosine_topk``: IVF adapts its
+    partition boundaries to the data (trained quantizer) where LSH uses
+    data-oblivious hyperplanes."""
+    cents = ivf_train_centroids(
+        embeddings, n_cells, id_col, vec_col, seed=seed
+    )
+    lists = ivf_assign(embeddings, cents, 1, id_col, vec_col)
+    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col)
+    cand = (
+        probes.withColumnRenamed(id_col, "query_id")
+        .join(lists.withColumnRenamed(id_col, "neighbor_id"), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rerank_topk(cand, embeddings, queries, k, id_col, vec_col)
