@@ -792,6 +792,30 @@ def _core_number_oracle() -> str:
 
 ORACLES["core_number"] = _core_number_oracle()
 
+KCORE_K = 3
+
+
+def q_k_core(spark, sf_dir):
+    """Edge list of the k-core subgraph (induced on vertices with
+    core_number >= k). Oracle: the core_number CTE chain + an edge
+    semi-join on both endpoints' cores."""
+    from .algorithms.cores import k_core as _k_core
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return _k_core(g, k=KCORE_K).edges.select("src", "dst")
+
+
+ORACLES["k_core"] = (
+    _core_number_oracle().rsplit("\nSELECT", 1)[0]
+    + f"""
+SELECT e.src, e.dst FROM sym e
+JOIN c{CORE_ORACLE_ROUNDS} a ON e.src = a.v
+JOIN c{CORE_ORACLE_ROUNDS} b ON e.dst = b.v
+WHERE a.c >= {KCORE_K} AND b.c >= {KCORE_K}
+"""
+)
+QUERIES["k_core"] = q_k_core
+
 
 # --- round-1 late additions: k-truss (unrolled-peeling oracle), plus
 # rows-only random walks and multimodal decode coverage ---
