@@ -100,6 +100,7 @@ from .multimodal import (
 from .streaming import stream_hourly_event_rollup, stream_pages_to_edges
 from .similarity import (
     cosine_topk,
+    embedding_near_dup,
     hyperplane_signatures,
     ivf_assign,
     ivf_cosine_topk,
@@ -191,6 +192,7 @@ __all__ = [
     "spectralBalancedCutClustering",
     "spectralModularityMaximizationClustering",
     "lsh_cosine_topk",
+    "embedding_near_dup",
     "ivf_assign",
     "ivf_cosine_topk",
     "ivf_train_centroids",

@@ -56,8 +56,17 @@ def _brandes(graph, k, seed, num_partitions, want_edges):
     n = verts.count()
 
     # sampled sources: deterministic seeded choice (reference uses seeded
-    # random sampling, betweenness_centrality.py:seed); all-vertices if k None
-    if k is None or k >= n:
+    # random sampling, betweenness_centrality.py:seed); all-vertices if k None;
+    # an explicit vertex list mirrors the reference's "k : int or list"
+    if isinstance(k, (list, tuple)):
+        internal = (
+            [graph._to_internal(v) for v in k] if graph.renumbered else [int(v) for v in k]
+        )
+        if any(v is None for v in internal):
+            raise ValueError("betweenness source vertex not in graph")
+        sources = spark.createDataFrame([(v,) for v in internal], "s LONG")
+        k_eff = len(internal)
+    elif k is None or k >= n:
         sources = verts.select(F.col("vertex").alias("s"))
         k_eff = n
     else:
@@ -198,7 +207,7 @@ def _brandes(graph, k, seed, num_partitions, want_edges):
 
 def betweenness_centrality(
     graph: Graph,
-    k: int | None = None,
+    k: int | list | None = None,
     normalized: bool = True,
     seed: int = 42,
     num_partitions: int | None = None,
@@ -235,7 +244,7 @@ def betweenness_centrality(
 
 def edge_betweenness_centrality(
     graph: Graph,
-    k: int | None = None,
+    k: int | list | None = None,
     normalized: bool = True,
     seed: int = 42,
     num_partitions: int | None = None,

@@ -116,10 +116,9 @@ def weakly_connected_components(
                 break
     out = labels.select("vertex", "labels")
     if graph.renumbered:
-        # labels are internal min-vids; map BOTH columns back to external ids
+        # vertex -> external; labels stay internal component keys (see
+        # docstring label-space contract)
         out = graph.unrenumber(out, "vertex")
-        # keep labels internal (they are canonical component keys); also give
-        # the external representative for readability
     return out
 
 

@@ -581,17 +581,67 @@ def q_doc_minhash_dedup(spark, sf_dir):
     return minhash_dedup(d, threshold=0.5).select("doc_id", "cluster", "keep")
 
 
+EMB_LSH_NBITS = 8
+
+
 def q_emb_lsh_topk(spark, sf_dir):
-    from .similarity import lsh_cosine_topk
+    """Full LSH ANN pipeline — SQL-replicable variant: LCG-plane sign
+    buckets (exact BIGINT arithmetic, linkgraph/similarity.py
+    lcg_hyperplane_buckets), Hamming<=1 multiprobe candidates, quantized
+    integer-dot rerank. Value-checked end to end by the DuckDB oracle
+    (the production xxhash/Gaussian tier keeps its pytest recall pin)."""
+    from .similarity import lcg_hyperplane_buckets
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = emb.filter(F.col("vec_id") < 20)
-    res = lsh_cosine_topk(emb, queries_df, k=5, nbits=8)
-    return res.select(
-        "query_id",
-        "neighbor_id",
-        F.round(F.col("cosine") * 1e6).cast("long").alias("cos_e6"),
-        "rnk",
+    buckets = lcg_hyperplane_buckets(emb, nbits=EMB_LSH_NBITS, dim=64)
+    probes = (
+        buckets.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(EMB_LSH_NBITS)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        probes.join(
+            buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket"),
+            on="bucket",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double)*1000) as bigint))"
+    )
+    e = emb.select(F.col("vec_id"), qv.alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(ae, be, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    dots = (
+        cand.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("ae")),
+            on="query_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("be")),
+            on="neighbor_id",
+        )
+        .select("query_id", "neighbor_id", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        dots.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "dot_q", "rnk")
     )
 
 
@@ -752,7 +802,46 @@ QUERIES.update(
 
 # queries exercised by pytest oracles instead of SQL (randomized internals:
 # hash permutations / hyperplanes, or loop-carried peeling)
-NO_ORACLE = {"doc_minhash_dedup", "emb_lsh_topk"}
+NO_ORACLE = {"doc_minhash_dedup"}
+
+# emb_lsh_topk: the whole LSH pipeline in exact integer arithmetic —
+# LCG-plane sign buckets, Hamming<=1 probes, quantized-dot rerank.
+ORACLES["emb_lsh_topk"] = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+    bits AS (
+        SELECT e.vec_id, j.j,
+               CASE WHEN sum(qv[t.i] *
+                    ((1103515245::BIGINT * (j.j * 64 + t.i)
+                      + 2654435761 + 42) % 2147483647 - 1073741823)) > 0
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM e, generate_series(0, {8 - 1}) j(j), generate_series(1, 64) t(i)
+        GROUP BY e.vec_id, j.j),
+    bk AS (SELECT vec_id, CAST(sum(bit << j) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id),
+    cand AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM bk q JOIN bk b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+        WHERE q.vec_id < 20 AND b.vec_id <> q.vec_id),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(sum(a.qv[t.i] * b.qv[t.i]) AS BIGINT) AS dot_q
+        FROM cand c
+        JOIN e a ON a.vec_id = c.query_id
+        JOIN e b ON b.vec_id = c.neighbor_id,
+             generate_series(1, 64) t(i)
+        GROUP BY c.query_id, c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+        FROM dots)
+    SELECT query_id, neighbor_id, dot_q, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+"""
 
 CORE_ORACLE_ROUNDS = 30
 
@@ -1103,17 +1192,99 @@ QUERIES["spectral_balanced_cut"] = q_spectral_balanced_cut
 NO_ORACLE.add("spectral_balanced_cut")
 
 
+# betweenness: deterministic source subset (v % BC_SOURCE_MOD == 0 — the
+# reference's "k : int or list" list form) makes the whole Brandes pass
+# SQL-replicable: the oracle unrolls BFS/sigma/dependency level-by-level
+# (exact on unweighted BFS DAGs, where every dependency edge connects
+# adjacent levels). BC_LEVELS must be >= the supply graph's max source
+# eccentricity (measured: 3 at sf0.001, 2 at sf0.01; 4 leaves margin).
+BC_SOURCE_MOD = 8
+BC_LEVELS = 4
+
+
 def q_betweenness(spark, sf_dir):
-    """Rows-only (Brandes' dependency accumulation isn't SQL-unrollable at
-    reasonable oracle size; pinned against a pure-Python Brandes oracle in
-    tests/test_betweenness.py). Exact (k=None), scaled-int output."""
+    """Sampled-source Brandes with an explicit deterministic source list;
+    value-checked by the unrolled SQL oracle (the exact k=None tier keeps
+    its pure-Python Brandes pin in tests/test_betweenness.py)."""
     from .algorithms.betweenness import betweenness_centrality
 
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
-    return betweenness_centrality(g).select(
+    sources = [r.vertex for r in g.vertices().collect() if r.vertex % BC_SOURCE_MOD == 0]
+    return betweenness_centrality(g, k=sorted(sources)).select(
         "vertex",
-        F.round(F.col("betweenness_centrality") * 1e7).cast("long").alias("bc_e7"),
+        F.round(F.col("betweenness_centrality") * 1e5).cast("long").alias("bc_e5"),
     )
+
+
+def _betweenness_oracle() -> str:
+    L = BC_LEVELS
+    parts = [
+        f"WITH raw AS ({SUPPLY_EDGES_SQL}),",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        f"d0 AS MATERIALIZED (SELECT v AS s, v AS v, 0 AS d FROM verts"
+        f" WHERE v % {BC_SOURCE_MOD} = 0),",
+    ]
+    for i in range(1, L + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT s, v, min(d) AS d FROM ("
+            f"SELECT s, v, d FROM d{i-1} UNION ALL "
+            f"SELECT p.s, e.dst AS v, {i} AS d FROM d{i-1} p "
+            f"JOIN sym e ON e.src = p.v AND p.d = {i-1}) GROUP BY s, v),"
+        )
+    parts.append(f"dist AS MATERIALIZED (SELECT s, v, d FROM d{L}),")
+    parts.append(
+        "sg0 AS MATERIALIZED (SELECT s, v, CAST(1 AS DOUBLE) AS sig"
+        " FROM dist WHERE d = 0),"
+    )
+    for i in range(1, L + 1):
+        parts.append(
+            f"sg{i} AS MATERIALIZED (SELECT dv.s, dv.v, sum(sp.sig) AS sig "
+            f"FROM dist dv JOIN sym e ON e.dst = dv.v "
+            f"JOIN sg{i-1} sp ON sp.s = dv.s AND sp.v = e.src "
+            f"WHERE dv.d = {i} GROUP BY dv.s, dv.v),"
+        )
+    parts.append(
+        "sig AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM sg{i}" for i in range(L + 1))
+        + "),"
+    )
+    parts.append(
+        f"del{L} AS MATERIALIZED (SELECT s, v, CAST(0 AS DOUBLE) AS delta"
+        f" FROM dist WHERE d = {L}),"
+    )
+    for i in range(L - 1, -1, -1):
+        parts.append(
+            f"del{i} AS MATERIALIZED (SELECT dv.s, dv.v, coalesce(c.c, 0) AS delta "
+            f"FROM dist dv LEFT JOIN ("
+            f"SELECT dw.s, e.src AS v, sum(sv.sig / sw.sig * (1 + dw.delta)) AS c "
+            f"FROM del{i+1} dw "
+            f"JOIN sig sw ON sw.s = dw.s AND sw.v = dw.v "
+            f"JOIN sym e ON e.dst = dw.v "
+            f"JOIN dist dp ON dp.s = dw.s AND dp.v = e.src AND dp.d = {i} "
+            f"JOIN sig sv ON sv.s = dw.s AND sv.v = e.src "
+            f"GROUP BY dw.s, e.src) c ON c.s = dv.s AND c.v = dv.v "
+            f"WHERE dv.d = {i}),"
+        )
+    parts.append(
+        "alldel AS ("
+        + " UNION ALL ".join(f"SELECT * FROM del{i}" for i in range(L + 1))
+        + "),"
+    )
+    parts.append(
+        "bcr AS (SELECT v, sum(delta) AS bc FROM alldel WHERE s <> v GROUP BY v),"
+        "nn AS (SELECT count(*) AS n FROM verts),"
+        f"kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM verts"
+        f" WHERE v % {BC_SOURCE_MOD} = 0) "
+        # engine scale for undirected+normalized+sampled:
+        # 0.5 * 2/((n-1)(n-2)) * n/k  ==  (n/k) / ((n-1)(n-2))
+        "SELECT vt.v AS vertex, "
+        "CAST(round(coalesce(b.bc, 0) / ((nn.n - 1) * (nn.n - 2)) * (nn.n / kk.k)"
+        " * 100000) AS BIGINT) AS bc_e5 "
+        "FROM verts vt CROSS JOIN nn CROSS JOIN kk LEFT JOIN bcr b ON b.v = vt.v"
+    )
+    return "\n".join(parts)
 
 
 def q_mst(spark, sf_dir):
@@ -1133,8 +1304,9 @@ def q_mst(spark, sf_dir):
 
 
 QUERIES["betweenness"] = q_betweenness
+ORACLES["betweenness"] = _betweenness_oracle()
 QUERIES["mst"] = q_mst
-NO_ORACLE |= {"betweenness", "mst"}
+NO_ORACLE |= {"mst"}
 
 
 SESSION_GAP_MINUTES = 30
@@ -1185,3 +1357,71 @@ ORACLES["events_sessions"] = f"""
     FROM s GROUP BY user_id, sn
 """
 QUERIES["events_sessions"] = q_events_sessions
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (vector dedup tier)
+# ---------------------------------------------------------------------------
+
+# tau = 2/5 (cosine 0.4): integer test 25*dot^2 >= 4*|a|^2*|b|^2 with dot>0.
+# Components quantized to round(x*1000) BIGINTs on BOTH sides so the filter
+# and the output column are exact integer arithmetic (same trick as emb_topk;
+# avoids float-hash divergence at the threshold boundary).
+EMB_NEAR_DUP_TAU_NUM, EMB_NEAR_DUP_TAU_DEN = 2, 5
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Exact tier of linkgraph.similarity.embedding_near_dup (quantized for
+    the driver hash; the float/LSH tiers are pytest-verified against a
+    numpy oracle in tests/test_text_similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qe = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double)*1000) as bigint))"
+    )
+    n2 = F.expr(
+        "aggregate(transform(qv, x -> x*x), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    e = emb.select(F.col("vec_id"), qe.alias("qv")).withColumn("n2", n2)
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("qv").alias("ae"), F.col("n2").alias("an2")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("qv").alias("be"), F.col("n2").alias("bn2")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ae, be, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    num, den = EMB_NEAR_DUP_TAU_NUM, EMB_NEAR_DUP_TAU_DEN
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", dot.alias("dot_q"), "an2", "bn2")
+        .filter(
+            (F.col("dot_q") > 0)
+            & (
+                F.lit(den * den) * F.col("dot_q") * F.col("dot_q")
+                >= F.lit(num * num) * F.col("an2") * F.col("bn2")
+            )
+        )
+        .select("a_id", "b_id", "dot_q")
+    )
+
+
+ORACLES["emb_near_dup"] = f"""
+    WITH pr AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(sum(CAST(round(CAST(a.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot_q,
+               CAST(sum(CAST(round(CAST(a.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(round(CAST(a.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS an2,
+               CAST(sum(CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS bn2
+        FROM embeddings a, embeddings b, generate_series(1, 64) AS t(i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT a_id, b_id, dot_q FROM pr
+    WHERE dot_q > 0
+      AND {EMB_NEAR_DUP_TAU_DEN * EMB_NEAR_DUP_TAU_DEN} * dot_q * dot_q
+          >= {EMB_NEAR_DUP_TAU_NUM * EMB_NEAR_DUP_TAU_NUM} * an2 * bn2
+"""
+QUERIES["emb_near_dup"] = q_emb_near_dup

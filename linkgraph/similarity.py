@@ -346,3 +346,151 @@ def ivf_cosine_topk(
         .distinct()
     )
     return _exact_rerank_topk(cand, embeddings, queries, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the dedup tier over vectors)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    method: str = "lsh",
+    nbits: int = 8,
+    ntables: int = 4,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """DF[a_id, b_id, cosine] — unordered pairs (``a_id < b_id``) whose
+    embedding cosine is ≥ ``threshold``. The vector analogue of the text
+    dedup tiers in ``linkgraph.text.dedup``.
+
+    method="exact"
+        All-pairs verify. Quadratic in the corpus — the correctness tier
+        for tests/small corpora only; at 100-TB scale use ``method="lsh"``.
+    method="lsh"
+        Candidates = pairs that share a random-hyperplane sign bucket in
+        ANY of ``ntables`` independent tables (OR-amplification, Charikar
+        2002), optionally widened by Hamming-1 multiprobe on one side;
+        exact cosine verify inside. Each table is a bucket equi-join —
+        one shuffle keyed by bucket, never all-pairs — so cost scales with
+        Σ bucket² rather than N². Recall rises with ``ntables``/multiprobe
+        and falls with ``nbits``; for a near-dup threshold τ the per-bit
+        collision probability is 1 − arccos(τ)/π.
+    """
+    a = _with_norm(
+        embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("qe")),
+        "qe",
+        "qn",
+    )
+    b = _with_norm(
+        embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("be")),
+        "be",
+        "bn",
+    )
+    if method == "exact":
+        cand = (
+            embeddings.select(F.col(id_col).alias("a_id"))
+            .join(
+                embeddings.select(F.col(id_col).alias("b_id")),
+                F.col("a_id") < F.col("b_id"),
+            )
+        )
+    elif method == "lsh":
+        dim = len(embeddings.select(vec_col).first()[0])
+        per_table = []
+        for t in range(ntables):
+            sig = hyperplane_signatures(
+                embeddings, nbits, dim, id_col, vec_col, seed=seed + 7919 * t
+            )
+            left = sig.select(F.col(id_col).alias("a_id"), "bucket")
+            if multiprobe:
+                left = left.select(
+                    "a_id",
+                    F.explode(
+                        F.array(
+                            F.col("bucket"),
+                            *[
+                                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                                for i in range(nbits)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+            per_table.append(
+                left.join(
+                    sig.select(F.col(id_col).alias("b_id"), "bucket"), on="bucket"
+                )
+                .filter(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id")
+            )
+        cand = per_table[0]
+        for extra in per_table[1:]:
+            cand = cand.unionByName(extra)
+        cand = cand.distinct()
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'exact' or 'lsh')")
+    return (
+        cand.join(a, on="a_id")
+        .join(b, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.expr(_DOT) / (F.col("qn") * F.col("bn"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-replicable LSH tier (LCG planes, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# Constants for the LCG-derived hyperplanes. Same design as the random-walk
+# rank_mode="lcg" (linkgraph/algorithms/random_walks.py): plain BIGINT
+# arithmetic so an ANSI-SQL oracle reproduces every bucket bit-identically.
+LSH_LCG_A = 1103515245
+LSH_LCG_C = 2654435761
+LSH_LCG_P = 2147483647
+LSH_LCG_HALF = (LSH_LCG_P - 1) // 2
+
+
+def lcg_hyperplane_buckets(
+    embeddings: DataFrame,
+    nbits: int = 12,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    quantize: int = 1000,
+) -> DataFrame:
+    """DF[id, bucket] — hyperplane sign buckets whose plane components come
+    from an integer LCG and whose dot products are exact BIGINT sums over
+    ``round(x*quantize)`` components. Every operation is integer-exact, so
+    a DuckDB oracle replays the buckets value-for-value (numpy/xxhash
+    planes have no SQL twin). Production ANN should prefer
+    ``hyperplane_signatures`` (Gaussian planes are angularly uniform); this
+    tier exists so the LSH bucketing itself — not just its rerank tail —
+    is driver-verifiable. Entirely JVM-side (one whole-stage codegen
+    projection, no UDF)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    bucket = f"""
+    aggregate(sequence(0, {nbits - 1}), cast(0 as bigint), (acc, j) ->
+      acc + shiftleft(CASE WHEN
+        aggregate(sequence(1, {dim}), cast(0 as bigint), (a2, i) ->
+          a2 + element_at(qv, i) *
+            ((cast({LSH_LCG_A} as bigint) * (j * {dim} + i)
+              + cast({LSH_LCG_C} as bigint) + cast({seed} as bigint))
+             % cast({LSH_LCG_P} as bigint) - cast({LSH_LCG_HALF} as bigint))
+        ) > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, j))
+    """
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * {quantize}) as bigint))"
+    )
+    return embeddings.select(F.col(id_col), qv.alias("qv")).select(
+        F.col(id_col), F.expr(bucket).alias("bucket")
+    )

@@ -171,3 +171,17 @@ def test_betweenness_sampled_k(spark):
     }
     for v in verts:
         assert abs(got[v] - exp[v]) < 1e-9
+
+
+def test_betweenness_explicit_source_list(spark):
+    """k as an explicit vertex list (the reference's 'k : int or list'
+    form) must equal the oracle restricted to exactly those sources."""
+    g, adj, verts = _graph_and_adj(spark, "karate.csv", directed=False)
+    sources = [v for v in sorted(verts) if v % 3 == 0]
+    exp = oracle_brandes(adj, verts, True, directed=False, sources=sources)
+    got = {
+        r.vertex: r.betweenness_centrality
+        for r in betweenness_centrality(g, k=sources).collect()
+    }
+    for v in verts:
+        assert abs(got[v] - exp[v]) < 1e-9

@@ -222,3 +222,65 @@ def test_ivf_deterministic_across_runs(spark, emb):
     b = {(r.query_id, r.rnk, r.neighbor_id)
          for r in ivf_cosine_topk(emb, queries, k=3, n_cells=8).collect()}
     assert a == b
+
+
+def _numpy_near_dup_pairs(emb_rows, threshold):
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb_rows}
+    ids = sorted(vecs)
+    out = set()
+    for i, a in enumerate(ids):
+        va = vecs[a] / np.linalg.norm(vecs[a])
+        for b in ids[i + 1:]:
+            vb = vecs[b] / np.linalg.norm(vecs[b])
+            if float(va @ vb) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_embedding_near_dup_exact(spark, emb):
+    from linkgraph.similarity import embedding_near_dup
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup(emb, threshold=0.95, method="exact").collect()
+    }
+    exp = _numpy_near_dup_pairs(emb.collect(), 0.95)
+    assert got == exp
+    # the fixture's 4 tight clusters: every pair is within-cluster
+    assert all(a % 4 == b % 4 for a, b in got)
+    assert len(got) > 1000  # 4 * C(25,2) = 1200 modulo noise
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    from linkgraph.similarity import embedding_near_dup
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup(emb, threshold=0.95, method="exact").collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup(
+            emb, threshold=0.95, method="lsh", nbits=8, ntables=4
+        ).collect()
+    }
+    # precision is exact by construction (cosine verify inside)
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"near-dup LSH recall {recall}"
+
+
+def test_embedding_near_dup_deterministic(spark, emb):
+    from linkgraph.similarity import embedding_near_dup
+
+    a = sorted(
+        (r.a_id, r.b_id, round(r.cosine, 9))
+        for r in embedding_near_dup(emb, threshold=0.95, method="lsh").collect()
+    )
+    b = sorted(
+        (r.a_id, r.b_id, round(r.cosine, 9))
+        for r in embedding_near_dup(
+            emb.repartition(7), threshold=0.95, method="lsh"
+        ).collect()
+    )
+    assert a == b
