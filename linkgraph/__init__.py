@@ -33,6 +33,7 @@ from .algorithms.traversal import (
     bfs_edges,
     concurrent_bfs,
     multi_source_bfs,
+    shortest_path,
     shortest_path_length,
     sssp,
 )
@@ -49,7 +50,7 @@ from .algorithms.link_prediction import (
 from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
-from .algorithms.random_walks import random_walks, rw_path
+from .algorithms.random_walks import node2vec_walks, random_walks, rw_path
 from .algorithms.scc import strongly_connected_components
 from .algorithms.betweenness import betweenness_centrality, edge_betweenness_centrality
 from .algorithms.ecg import ecg
@@ -114,6 +115,23 @@ from .text.analysis import (
     quality_metrics,
     token_count,
     word_shingles,
+)
+from .compat import (
+    from_edgelist,
+    is_weighted,
+    jaccard_coefficient,
+    overlap_coefficient,
+    sorensen_coefficient,
+    strong_connected_component,
+    subgraph,
+    symmetrize,
+    symmetrize_ddf,
+    symmetrize_df,
+    to_numpy_array,
+    to_numpy_matrix,
+    to_pandas_adjacency,
+    to_pandas_edgelist,
+    triangles,
 )
 from .text.dedup import (
     exact_dedup,
@@ -211,12 +229,14 @@ __all__ = [
     "pages_to_edges",
     "quality_metrics",
     "random_walks",
+    "node2vec_walks",
     "rw_path",
     "renumber_edges",
     "rmat_edges",
     "erdos_renyi_edges",
     "path_graph_edges",
     "mesh_graph_edges",
+    "shortest_path",
     "shortest_path_length",
     "simhash_near_pairs",
     "simhash_signatures",
@@ -231,6 +251,21 @@ __all__ = [
     "symmetrize_edges",
     "token_count",
     "triangle_count",
+    "triangles",
+    "from_edgelist",
+    "is_weighted",
+    "jaccard_coefficient",
+    "overlap_coefficient",
+    "sorensen_coefficient",
+    "strong_connected_component",
+    "subgraph",
+    "symmetrize",
+    "symmetrize_ddf",
+    "symmetrize_df",
+    "to_numpy_array",
+    "to_numpy_matrix",
+    "to_pandas_adjacency",
+    "to_pandas_edgelist",
     "upper_triangle",
     "weakly_connected_components",
     "word_shingles",

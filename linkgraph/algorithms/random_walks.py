@@ -176,3 +176,122 @@ def rw_path(paths: DataFrame) -> DataFrame:
         (F.col("path_size") - 1).cast("long").alias("weight_size"),
         F.col("path_size").cast("long").alias("path_size"),
     )
+
+
+def node2vec_walks(
+    graph: Graph,
+    start_vertices: list,
+    max_depth: int = 4,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    rank_mode: str = "xxhash",
+) -> DataFrame:
+    """Second-order (node2vec, Grover & Leskovec 2016) biased walks:
+    DF[walk_id, step, vertex, edge_weight] — same output contract as
+    ``random_walks``. The next-hop weight of edge (cur -> x) given the
+    previous vertex t is  w · 1/p if x == t,  w if x is a neighbor of t,
+    w · 1/q otherwise. Training-pipeline extension beyond the reference
+    (its 21.x snapshot ships uniform/weighted walks only —
+    sampling/random_walks.py:19-118).
+
+    Distributed shape: per step ONE edges-join on the frontier plus ONE
+    left join against the distinct adjacency keyed by (prev, dst) for the
+    is-neighbor test — the second-order state is just the (walk_id, prev,
+    cur) triple, never a per-walk neighbor set. Sampling is the same
+    partitioning-independent seeded A-Res draw as ``random_walks``
+    (``rank_mode="lcg"`` keeps it SQL/python-replicable)."""
+    spark = graph.edges.sparkSession
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
+    w = F.col("weight") if graph.weighted else F.lit(1.0)
+    edges = (
+        graph.edges.select("src", "dst", w.alias("w"))
+        .repartition(nparts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj = (
+        edges.select(F.col("src").alias("prev"), "dst")
+        .distinct()
+        .withColumn("is_nbr", F.lit(True))
+        .repartition(nparts, "prev")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if graph.renumbered:
+        internal = [graph._to_internal(v) for v in start_vertices]
+        if any(v is None for v in internal):
+            raise ValueError("start vertex not in graph")
+    else:
+        internal = [int(v) for v in start_vertices]
+    n_walks = len(internal)
+    bcast = n_walks <= BROADCAST_STATE_MAX_V
+
+    cur = truncate_plan(
+        spark.createDataFrame(
+            [(i, 0, v) for i, v in enumerate(internal)],
+            "walk_id LONG, step INT, vertex LONG",
+        )
+        .withColumn("edge_weight", F.lit(None).cast("double"))
+        .withColumn("prev", F.lit(None).cast("long")),
+        eager=False,
+    )
+    paths = cur.select("walk_id", "step", "vertex", "edge_weight")
+    with no_aqe(spark):
+        for step in range(1, max_depth + 1):
+            f_src = cur.select(
+                "walk_id", F.col("vertex").alias("src"), F.col("prev")
+            )
+            f_src = (
+                F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
+            )
+            cand = edges.join(f_src, on="src").join(
+                adj, on=["prev", "dst"], how="left"
+            )
+            if rank_mode == "lcg":
+                r_int = (
+                    F.lit(RW_LCG_A) * F.col("walk_id")
+                    + F.lit(RW_LCG_B * step)
+                    + F.lit(RW_LCG_C) * F.col("dst")
+                    + F.lit(seed)
+                ) % F.lit(RW_LCG_P)
+                u = (r_int + F.lit(1)) / F.lit(float(RW_LCG_P + 2))
+            else:
+                u = (
+                    F.abs(F.xxhash64("walk_id", F.lit(step), "dst", F.lit(seed)))
+                    % F.lit(2**31)
+                    + F.lit(1)
+                ) / F.lit(float(2**31 + 2))
+            bias = F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(
+                F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p)).otherwise(
+                    F.when(F.col("is_nbr"), F.lit(1.0)).otherwise(F.lit(1.0 / q))
+                )
+            ) * F.col("w")
+            rank = -F.log(u) / bias
+            nxt = truncate_plan(
+                cand.withColumn("rnd", rank)
+                .groupBy("walk_id")
+                .agg(F.min(F.struct("rnd", "dst", "w", "src")).alias("t"))
+                .select(
+                    "walk_id",
+                    F.lit(step).cast("int").alias("step"),
+                    F.col("t.dst").alias("vertex"),
+                    F.col("t.w").cast("double").alias("edge_weight"),
+                    F.col("t.src").alias("prev"),
+                ),
+                eager=False,  # single consumer: the count below
+            )
+            if nxt.count() == 0:
+                break
+            paths = truncate_plan(
+                paths.unionByName(
+                    nxt.select("walk_id", "step", "vertex", "edge_weight")
+                ),
+                eager=False,
+            )
+            cur = nxt
+    edges.unpersist()
+    adj.unpersist()
+    out = paths
+    if graph.renumbered:
+        out = graph.unrenumber(out, "vertex")
+    return out.select("walk_id", "step", "vertex", "edge_weight")

@@ -188,11 +188,19 @@ def sssp(
     return out
 
 
-def shortest_path_length(graph: Graph, source, target) -> float | None:
-    """traversal/sssp.py convenience: distance between two vertices."""
+def shortest_path(graph: Graph, source, **kw) -> DataFrame:
+    """Alias for sssp() — NetworkX-compat name (traversal/sssp.py:246-259)."""
+    return sssp(graph, source, **kw)
+
+
+def shortest_path_length(graph: Graph, source, target=None):
+    """traversal/sssp.py:262 convenience: distance from ``source`` to
+    ``target`` — or, with ``target=None``, the full DF[vertex, distance]
+    (the reference returns distances to all vertices in that case)."""
     res = sssp(graph, source)
-    key = "vertex"
-    rows = res.filter(F.col(key) == target).collect()
+    if target is None:
+        return res.select("vertex", "distance")
+    rows = res.filter(F.col("vertex") == target).collect()
     return None if not rows or rows[0]["distance"] is None else float(rows[0]["distance"])
 
 

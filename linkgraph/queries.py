@@ -575,10 +575,18 @@ def q_core_number(spark, sf_dir):
 
 
 def q_doc_minhash_dedup(spark, sf_dir):
+    """Full MinHash-LSH dedup pipeline in hash_mode="lcg": shingle codes,
+    permutations, band buckets, Jaccard verify, and WCC clustering are all
+    exact integer/rational arithmetic, so the DuckDB oracle replays the
+    pipeline end to end (recursive-CTE closure replaces WCC). The blake2b
+    production tier keeps its pytest recall/precision pin
+    (tests/test_text_similarity.py::test_minhash_recall_vs_bruteforce)."""
     from .text.dedup import minhash_dedup
 
     d = _documents(spark, sf_dir)
-    return minhash_dedup(d, threshold=0.5).select("doc_id", "cluster", "keep")
+    return minhash_dedup(d, threshold=0.5, hash_mode="lcg").select(
+        "doc_id", "cluster", "keep"
+    )
 
 
 EMB_LSH_NBITS = 8
@@ -802,7 +810,76 @@ QUERIES.update(
 
 # queries exercised by pytest oracles instead of SQL (randomized internals:
 # hash permutations / hyperplanes, or loop-carried peeling)
-NO_ORACLE = {"doc_minhash_dedup"}
+NO_ORACLE: set = set()
+
+# doc_minhash_dedup (hash_mode="lcg"): every pipeline stage is exact-integer
+# and mirrored here verbatim — shingle codes (position-weighted char sums),
+# the 64 LCG permutations, 16 base-31 band buckets, candidate band-join,
+# integer-cross-multiplied Jaccard verify at threshold 0.5, and the WCC
+# clustering as a recursive-CTE transitive closure.
+ORACLES["doc_minhash_dedup"] = """
+    WITH RECURSIVE
+    words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+            FROM words),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM idx),
+    chpos AS (
+        SELECT doc_id, shingle,
+               unnest(generate_series(1, length(shingle))) AS i
+        FROM sh),
+    codes AS (
+        SELECT doc_id, shingle,
+               sum(ascii(substring(shingle, i, 1)) *
+                   ((1103515245::BIGINT * i + 12345) % 2147483647))
+                 % 2147483647 AS code
+        FROM chpos
+        GROUP BY doc_id, shingle),
+    mh AS (
+        SELECT c.doc_id, j.j,
+               min(((1 + ((1103515245::BIGINT * (j.j + 1) + 12345) % 2147483646))
+                     * code
+                    + ((2654435761::BIGINT * (j.j + 1) + 42) % 2147483647))
+                   % 2147483647) AS mh
+        FROM codes c, generate_series(0, 63) j(j)
+        GROUP BY c.doc_id, j.j),
+    bands AS (
+        SELECT doc_id, j // 4 AS band,
+               sum(mh * (CASE j % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+                                    WHEN 2 THEN 31 ELSE 1 END)) AS bucket
+        FROM mh GROUP BY doc_id, j // 4),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b),
+    verified AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN per_doc pa ON pa.doc_id = cm.id_a
+        JOIN per_doc pb ON pb.doc_id = cm.id_b
+        WHERE cm.common * 1000000 >= 500000 * (pa.n_sh + pb.n_sh - cm.common)),
+    und AS (SELECT id_a AS u, id_b AS v FROM verified
+            UNION SELECT id_b AS u, id_a AS v FROM verified),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+    cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+           FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS cluster,
+           coalesce(cl.cluster, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+"""
 
 # emb_lsh_topk: the whole LSH pipeline in exact integer arithmetic —
 # LCG-plane sign buckets, Hamming<=1 probes, quantized-dot rerank.
@@ -1010,6 +1087,65 @@ def q_media_image_stats(spark, sf_dir):
 
 ORACLES["ktruss"] = _ktruss_oracle()
 ORACLES["random_walks"] = _random_walks_oracle()
+
+# node2vec: p=1/2 and q=2 make every bias a power of two, so the only
+# non-exact float op in the replay is ln() itself (libm, ±1 ulp — far
+# below any plausible argmin gap).
+N2V_P, N2V_Q = 0.5, 2.0
+
+
+def q_node2vec(spark, sf_dir):
+    """Second-order biased walks (node2vec_walks, rank_mode="lcg"): the
+    oracle replays the full second-order pipeline — frontier join,
+    return/in-out bias via a (prev, dst) adjacency probe, A-Res argmin —
+    step by step."""
+    from .algorithms.random_walks import node2vec_walks
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return node2vec_walks(
+        g, list(range(RW_STARTS)), max_depth=RW_DEPTH, p=N2V_P, q=N2V_Q,
+        rank_mode="lcg",
+    ).select("walk_id", "step", "vertex")
+
+
+def _node2vec_oracle() -> str:
+    from .algorithms.random_walks import RW_LCG_A, RW_LCG_B, RW_LCG_C, RW_LCG_P
+
+    seed = 42
+    inv_p, inv_q = 1.0 / N2V_P, 1.0 / N2V_Q
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        f"p0 AS (SELECT CAST(w AS BIGINT) AS walk_id, 0 AS step, "
+        f"CAST(w AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS prev FROM "
+        f"(SELECT unnest(generate_series(0, {RW_STARTS - 1})) AS w))",
+    ]
+    for k in range(1, RW_DEPTH + 1):
+        parts.append(
+            f"c{k} AS (SELECT p.walk_id, p.vertex AS cur, e.dst, "
+            f"-ln((({RW_LCG_A} * p.walk_id + {RW_LCG_B * k} "
+            f"+ {RW_LCG_C} * e.dst + {seed}) % {RW_LCG_P} + 1) "
+            f"/ {float(RW_LCG_P + 2)}) / "
+            f"(CASE WHEN p.prev IS NULL THEN 1.0 "
+            f" WHEN e.dst = p.prev THEN {inv_p} "
+            f" WHEN n.src IS NOT NULL THEN 1.0 ELSE {inv_q} END) AS r "
+            f"FROM p{k-1} p JOIN edges e ON e.src = p.vertex "
+            f"LEFT JOIN (SELECT DISTINCT src, dst FROM edges) n "
+            f"ON n.src = p.prev AND n.dst = e.dst)"
+        )
+        parts.append(
+            f"p{k} AS (SELECT walk_id, {k} AS step, CAST(dst AS BIGINT) AS vertex, "
+            f"CAST(cur AS BIGINT) AS prev "
+            f"FROM (SELECT *, row_number() OVER (PARTITION BY walk_id "
+            f"ORDER BY r, dst) AS rn FROM c{k}) WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, vertex FROM p{k}" for k in range(RW_DEPTH + 1)
+    )
+    return ",\n".join(parts) + f"\n{union}"
+
+
+ORACLES["node2vec"] = _node2vec_oracle()
+QUERIES["node2vec"] = q_node2vec
 QUERIES.update(
     {
         "ktruss": q_ktruss,
@@ -1425,3 +1561,28 @@ ORACLES["emb_near_dup"] = f"""
           >= {EMB_NEAR_DUP_TAU_NUM * EMB_NEAR_DUP_TAU_NUM} * an2 * bn2
 """
 QUERIES["emb_near_dup"] = q_emb_near_dup
+
+
+# ---------------------------------------------------------------------------
+# induced subgraph (community/subgraph_extraction.py:22-89)
+# ---------------------------------------------------------------------------
+
+SUBGRAPH_MOD = 5
+
+
+def q_induced_subgraph(spark, sf_dir):
+    """Graph.subgraph on the deterministic vertex subset v % 5 == 0 —
+    two semi-joins (induced_subgraph_impl.cuh's filter semantics)."""
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    verts = g.vertices().filter(F.col("vertex") % SUBGRAPH_MOD == 0)
+    return g.subgraph(verts).edges.select("src", "dst")
+
+
+ORACLES["induced_subgraph"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw))
+    SELECT src, dst FROM sym
+    WHERE src % {SUBGRAPH_MOD} = 0 AND dst % {SUBGRAPH_MOD} = 0
+"""
+QUERIES["induced_subgraph"] = q_induced_subgraph

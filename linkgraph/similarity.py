@@ -399,37 +399,58 @@ def embedding_near_dup(
             )
         )
     elif method == "lsh":
+        # ALL tables' signatures in ONE Arrow pass (one parquet scan, one
+        # vectorized matmul per batch), long format (id, t, bucket); the
+        # candidate step is then a single self-join shuffle keyed by
+        # (t, bucket) — never one scan+UDF per table per join side.
         dim = len(embeddings.select(vec_col).first()[0])
-        per_table = []
-        for t in range(ntables):
-            sig = hyperplane_signatures(
-                embeddings, nbits, dim, id_col, vec_col, seed=seed + 7919 * t
-            )
-            left = sig.select(F.col(id_col).alias("a_id"), "bucket")
-            if multiprobe:
-                left = left.select(
-                    "a_id",
-                    F.explode(
-                        F.array(
-                            F.col("bucket"),
-                            *[
-                                F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                                for i in range(nbits)
-                            ],
-                        )
-                    ).alias("bucket"),
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((ntables, nbits, dim)).astype(np.float64)
+
+        def sig_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vecs = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                    np.float64
                 )
-            per_table.append(
-                left.join(
-                    sig.select(F.col(id_col).alias("b_id"), "bucket"), on="bucket"
-                )
-                .filter(F.col("a_id") < F.col("b_id"))
-                .select("a_id", "b_id")
+                n = len(pdf)
+                out_t = np.repeat(np.arange(ntables, dtype=np.int64), n)
+                out_id = np.tile(pdf[id_col].to_numpy(), ntables)
+                buckets = np.empty(ntables * n, dtype=np.int64)
+                for t in range(ntables):
+                    bits = (vecs @ planes[t].T) > 0
+                    bk = np.zeros(n, dtype=np.int64)
+                    for i in range(nbits):
+                        bk |= bits[:, i].astype(np.int64) << i
+                    buckets[t * n : (t + 1) * n] = bk
+                yield pd.DataFrame({id_col: out_id, "t": out_t, "bucket": buckets})
+
+        sig = embeddings.select(id_col, vec_col).mapInPandas(
+            sig_all, f"{id_col} long, t long, bucket long"
+        )
+        left = sig.select(F.col(id_col).alias("a_id"), "t", "bucket")
+        if multiprobe:
+            left = left.select(
+                "a_id",
+                "t",
+                F.explode(
+                    F.array(
+                        F.col("bucket"),
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                            for i in range(nbits)
+                        ],
+                    )
+                ).alias("bucket"),
             )
-        cand = per_table[0]
-        for extra in per_table[1:]:
-            cand = cand.unionByName(extra)
-        cand = cand.distinct()
+        cand = (
+            left.join(
+                sig.select(F.col(id_col).alias("b_id"), "t", "bucket"),
+                on=["t", "bucket"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
     else:
         raise ValueError(f"unknown method {method!r} (use 'exact' or 'lsh')")
     return (

@@ -124,6 +124,87 @@ def minhash_signatures(
     )
 
 
+# hash_mode="lcg" constants — plain BIGINT arithmetic so a DuckDB oracle
+# replays shingle codes, permutations, and band buckets value-for-value
+# (blake2b/numpy have no SQL twin); same design as the random-walk and
+# LSH-plane LCG modes. blake2b stays the default for hash quality.
+MH_LCG_A = 1103515245
+MH_LCG_B = 12345
+MH_LCG_C = 2654435761
+MH_LCG_P = 2147483647
+
+
+def minhash_lcg_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """DF[id, band, bucket] — banded MinHash buckets in exact integer
+    arithmetic, entirely JVM-side expressions:
+
+    - shingle code  = Σ_i ascii(char_i) · ((A·i + B) mod P)  mod P
+    - permutation j = (a_j·code + b_j) mod P, a_j/b_j LCG-derived from j
+    - band bucket   = base-31 positional fold of the band's min-hashes
+
+    Each step is replicated verbatim by the ``doc_minhash_dedup`` DuckDB
+    oracle; products stay < 2^63 (a_j, code < P = 2^31-1)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sh = word_shingles(df, text_col, id_col, k)
+    code = F.expr(
+        f"aggregate(sequence(1, length(shingle)), cast(0 as bigint), (acc, i) -> "
+        f"(acc + ascii(substring(shingle, i, 1)) * "
+        f"((cast({MH_LCG_A} as bigint) * i + {MH_LCG_B}) % {MH_LCG_P})) % {MH_LCG_P})"
+    )
+    m = sh.select(id_col, code.alias("code")).select(
+        id_col,
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("j"),
+    )
+    aj = F.lit(1).cast("long") + (
+        F.lit(MH_LCG_A).cast("long") * (F.col("j") + 1) + F.lit(MH_LCG_B)
+    ) % F.lit(MH_LCG_P - 1)
+    bj = (
+        F.lit(MH_LCG_C).cast("long") * (F.col("j") + 1) + F.lit(seed)
+    ) % F.lit(MH_LCG_P)
+    mh = (aj * F.col("code") + bj) % F.lit(MH_LCG_P)
+    mins = (
+        m.select(id_col, "j", mh.alias("h"))
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    weights = F.array(*[F.lit(31 ** (r - 1 - p)).cast("long") for p in range(r)])
+    return (
+        mins.select(
+            id_col,
+            F.floor(F.col("j") / r).cast("int").alias("band"),
+            (
+                F.col("mh")
+                * F.element_at(weights, (F.col("j") % r).cast("int") + 1)
+            ).alias("t"),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.sum("t").alias("bucket"))
+    )
+
+
+def _band_pair_join(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any (band, bucket)."""
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
 ) -> DataFrame:
@@ -145,14 +226,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bucket"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _band_pair_join(banded, id_col)
 
 
 def minhash_dedup(
@@ -164,15 +238,26 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_mode: str = "blake2b",
 ) -> DataFrame:
     """End-to-end near-dup dedup: DF[id, cluster, keep].
 
     minhash -> banded LSH candidates -> exact-Jaccard verification ->
     duplicate clusters = connected components of the verified pair graph
     (this engine's own WCC) -> keep = min id per cluster.
+
+    ``hash_mode``: "blake2b" (default — vectorized Arrow UDF signatures)
+    or "lcg" (exact-integer JVM expressions, SQL-replicable — the variant
+    the driver oracle value-checks; see ``minhash_lcg_buckets``).
     """
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed)
-    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    if hash_mode == "lcg":
+        cand = _band_pair_join(
+            minhash_lcg_buckets(df, text_col, id_col, k, num_perm, bands, seed),
+            id_col,
+        )
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed)
+        cand = minhash_lsh_candidates(sigs, id_col, bands)
     # verify candidates with exact shingle Jaccard
     sh = word_shingles(df, text_col, id_col, k)
     per_doc = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -197,3 +197,120 @@ def test_ktruss_validation(spark):
     ug = Graph.from_edgelist(e, renumber=False, directed=False)
     with pytest.raises(ValueError):
         ktruss_subgraph(ug, 2)
+
+
+def _replay_node2vec_lcg(adj, weights, starts, max_depth, p, q, seed):
+    """Pure-python replay of node2vec_walks(rank_mode='lcg') — identical
+    draw arithmetic and min-struct tie-break."""
+    import math
+
+    from linkgraph.algorithms.random_walks import (
+        RW_LCG_A,
+        RW_LCG_B,
+        RW_LCG_C,
+        RW_LCG_P,
+    )
+
+    out = {}
+    for wid, s in enumerate(starts):
+        path = [s]
+        prev = None
+        cur = s
+        for step in range(1, max_depth + 1):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                break
+            best = None
+            for dst in nbrs:
+                r_int = (
+                    RW_LCG_A * wid + RW_LCG_B * step + RW_LCG_C * dst + seed
+                ) % RW_LCG_P
+                u = (r_int + 1) / float(RW_LCG_P + 2)
+                w = weights.get((cur, dst), 1.0)
+                if prev is None:
+                    bias = 1.0
+                elif dst == prev:
+                    bias = 1.0 / p
+                elif dst in adj.get(prev, ()):
+                    bias = 1.0
+                else:
+                    bias = 1.0 / q
+                rnd = -math.log(u) / (bias * w)
+                key = (rnd, dst, w)
+                if best is None or key < best:
+                    best = key
+            prev, cur = cur, best[1]
+            path.append(cur)
+        out[wid] = path
+    return out
+
+
+def _karate_adj(g):
+    adj, weights = {}, {}
+    for e in g.edges.collect():
+        adj.setdefault(e.src, set()).add(e.dst)
+        weights[(e.src, e.dst)] = e.weight if "weight" in e.__fields__ else 1.0
+    return adj, weights
+
+
+def test_node2vec_lcg_exact_replay(spark):
+    from linkgraph import node2vec_walks
+
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), renumber=False, directed=False
+    )
+    adj, _w = _karate_adj(g)
+    starts = [0, 5, 33]
+    p_, q_ = 0.5, 2.0
+    res = node2vec_walks(
+        g, starts, max_depth=6, p=p_, q=q_, seed=11, rank_mode="lcg"
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.walk_id, {})[r.step] = r.vertex
+    exp = _replay_node2vec_lcg(adj, {}, starts, 6, p_, q_, 11)
+    for wid, path in exp.items():
+        assert [got[wid][s] for s in range(len(path))] == path
+
+
+def test_node2vec_bias_direction(spark):
+    """p << 1 makes walks return; q << 1 makes them explore (star graph:
+    from a leaf, step 2 either returns to the leaf or jumps to another
+    leaf through the hub — leaves are mutual non-neighbors)."""
+    from linkgraph import node2vec_walks
+
+    n_leaves = 30
+    rows = [(0, i) for i in range(1, n_leaves + 1)]
+    e = spark.createDataFrame(rows, "src LONG, dst LONG")
+    g = Graph.from_edgelist(e, renumber=False, directed=False)
+    starts = [1] * 40  # 40 independent walks (draws keyed by walk_id)
+    returned = {}
+    for p_, q_ in [(1e-6, 1.0), (1.0, 1e-6)]:
+        res = node2vec_walks(g, starts, max_depth=2, p=p_, q=q_, seed=3)
+        steps = {}
+        for r in res.collect():
+            steps.setdefault(r.walk_id, {})[r.step] = r.vertex
+        returned[(p_, q_)] = sum(
+            1 for s in steps.values() if s.get(2) == 1
+        ) / len(steps)
+    assert returned[(1e-6, 1.0)] >= 0.9  # tiny p: return to start
+    assert returned[(1.0, 1e-6)] <= 0.1  # tiny q: explore outward
+
+
+def test_node2vec_deterministic_across_partitioning(spark):
+    from linkgraph import node2vec_walks
+
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv").repartition(9),
+        renumber=False,
+        directed=False,
+    )
+    a = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(g, [0, 1], max_depth=4, p=0.5, q=2.0).collect()
+    )
+    b = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(g, [0, 1], max_depth=4, p=0.5, q=2.0).collect()
+    )
+    assert a == b

@@ -284,3 +284,33 @@ def test_embedding_near_dup_deterministic(spark, emb):
         ).collect()
     )
     assert a == b
+
+
+def test_minhash_lcg_mode_matches_blake2b_clusters(docs):
+    """hash_mode='lcg' (the SQL-replicable driver variant) must produce the
+    same verified clusters as the default blake2b tier on the fixture docs
+    (both verify candidates with exact Jaccard, so any difference would be
+    a candidate-recall gap)."""
+    a = sorted(
+        (r.doc_id, r.cluster, r.keep)
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cluster, r.keep)
+        for r in minhash_dedup(docs, threshold=0.5, hash_mode="lcg").collect()
+    )
+    assert a == b
+
+
+def test_minhash_lcg_deterministic_across_partitioning(docs):
+    a = sorted(
+        (r.doc_id, r.cluster)
+        for r in minhash_dedup(docs, threshold=0.5, hash_mode="lcg").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cluster)
+        for r in minhash_dedup(
+            docs.repartition(7), threshold=0.5, hash_mode="lcg"
+        ).collect()
+    )
+    assert a == b

@@ -118,3 +118,19 @@ def test_sssp_negative_weight_rejected(spark):
     g = Graph.from_edgelist(e, weight="weight", renumber=False, directed=True)
     with pytest.raises(ValueError):
         sssp(g, 0)
+
+
+def test_shortest_path_alias_and_all_targets(spark):
+    from linkgraph import shortest_path
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 3, 10.0)], "src LONG, dst LONG, weight DOUBLE"
+    )
+    g = Graph.from_edgelist(e, weight="weight", renumber=False, directed=True)
+    alias_rows = {(r.vertex, r.distance) for r in shortest_path(g, 0).collect()}
+    sssp_rows = {(r.vertex, r.distance) for r in sssp(g, 0).collect()}
+    assert alias_rows == sssp_rows
+    # target=None returns the full distance table (reference sssp.py:262)
+    all_d = {r.vertex: r.distance for r in shortest_path_length(g, 0).collect()}
+    assert all_d[2] == 3.0 and all_d[3] == 10.0
+    assert shortest_path_length(g, 0, 2) == 3.0
