@@ -1424,9 +1424,12 @@ def _betweenness_oracle() -> str:
 
 
 def q_mst(spark, sf_dir):
-    """Rows-only (Borůvka tree choice among equal-weight edges is
-    tie-broken internally; pytest checks total weight + forest shape vs a
-    pure-Python Kruskal oracle in tests/test_scc_mst.py)."""
+    """Distributed Borůvka; value-checked by an unrolled round-by-round
+    DuckDB oracle that replays the engine's exact deterministic tie-break
+    (min struct (weight, lo, hi) per component) and the min-label merge
+    (recursive-CTE closure per round). Integer weights make every compare
+    exact. The pure-Python Kruskal total-weight/forest-shape pin stays in
+    tests/test_scc_mst.py."""
     from .algorithms.mst import minimum_spanning_tree
 
     e = supply_edges(spark, sf_dir).select(
@@ -1439,10 +1442,65 @@ def q_mst(spark, sf_dir):
     )
 
 
+MST_ORACLE_ROUNDS = 10  # >= ceil(log2(V=400)) + margin; empty rounds no-op
+
+
+def _mst_oracle() -> str:
+    parts = [
+        f"WITH RECURSIVE raw AS ({SUPPLY_EDGES_SQL})",
+        # undirected weight = min over the (up to two) directed rows —
+        # symmetrize dedup-min over weight (src*7919 + dst) % 97 + 1
+        "symw AS MATERIALIZED (SELECT least(src,dst) AS lo, greatest(src,dst) AS hi, "
+        "min((src*7919 + dst) % 97 + 1) AS w FROM raw GROUP BY 1, 2)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT lo AS v FROM symw UNION ALL SELECT hi FROM symw))",
+        "comp0 AS MATERIALIZED (SELECT v, v AS c FROM verts)",
+    ]
+    for k in range(1, MST_ORACLE_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f"lab{k} AS MATERIALIZED (SELECT e.lo, e.hi, e.w, cl.c AS c_lo, ch.c AS c_hi "
+            f"FROM symw e JOIN comp{p} cl ON cl.v = e.lo "
+            f"JOIN comp{p} ch ON ch.v = e.hi WHERE cl.c <> ch.c)"
+        )
+        parts.append(
+            f"pick{k} AS MATERIALIZED (SELECT lo, hi, w, c_lo, c_hi FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY comp ORDER BY w, lo, hi) AS rn "
+            f"FROM (SELECT c_lo AS comp, * FROM lab{k} "
+            f"      UNION ALL SELECT c_hi AS comp, * FROM lab{k})) WHERE rn = 1)"
+        )
+        parts.append(f"sel{k} AS MATERIALIZED (SELECT DISTINCT lo, hi, w FROM pick{k})")
+        parts.append(
+            f"mg{k} AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+            f"SELECT c_lo AS a, c_hi AS b FROM pick{k} "
+            f"UNION ALL SELECT c_hi AS a, c_lo AS b FROM pick{k}))"
+        )
+        parts.append(
+            f"cl{k}(u, v) AS (SELECT a, b FROM mg{k} "
+            f"UNION SELECT cl{k}.u, m.b FROM cl{k} JOIN mg{k} m ON m.a = cl{k}.v)"
+        )
+        parts.append(
+            f"rel{k} AS MATERIALIZED (SELECT u AS c, least(u, min(v)) AS newc "
+            f"FROM cl{k} GROUP BY u)"
+        )
+        parts.append(
+            f"comp{k} AS MATERIALIZED (SELECT cp.v, coalesce(r.newc, cp.c) AS c "
+            f"FROM comp{p} cp LEFT JOIN rel{k} r ON r.c = cp.c)"
+        )
+    union = " UNION ".join(
+        f"SELECT lo, hi, w FROM sel{k}" for k in range(1, MST_ORACLE_ROUNDS + 1)
+    )
+    parts.append(f"allsel AS ({union})")
+    return ",\n".join(parts) + (
+        "\nSELECT CAST(lo AS BIGINT) AS src, CAST(hi AS BIGINT) AS dst, "
+        "CAST(w AS BIGINT) AS w_i FROM allsel"
+    )
+
+
 QUERIES["betweenness"] = q_betweenness
 ORACLES["betweenness"] = _betweenness_oracle()
 QUERIES["mst"] = q_mst
-NO_ORACLE |= {"mst"}
+ORACLES["mst"] = _mst_oracle()
 
 
 SESSION_GAP_MINUTES = 30
