@@ -98,6 +98,7 @@ from .multimodal import (
     resize_images,
     sample_video_frames,
 )
+from .storage import graph_from_bucketed, load_edges_bucketed, save_edges_bucketed
 from .streaming import stream_hourly_event_rollup, stream_pages_to_edges
 from .similarity import (
     cosine_topk,
@@ -110,6 +111,7 @@ from .similarity import (
 )
 from .text.analysis import (
     bpe_ish_token_count,
+    tfidf_top_terms,
     fingerprint,
     language_id,
     quality_metrics,
@@ -244,12 +246,16 @@ __all__ = [
     "sorensen_w",
     "strongly_connected_components",
     "sssp",
+    "save_edges_bucketed",
+    "load_edges_bucketed",
+    "graph_from_bucketed",
     "stream_hourly_event_rollup",
     "stream_pages_to_edges",
     "sample_video_frames",
     "resize_images",
     "symmetrize_edges",
     "token_count",
+    "tfidf_top_terms",
     "triangle_count",
     "triangles",
     "from_edgelist",

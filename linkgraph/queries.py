@@ -1644,3 +1644,36 @@ ORACLES["induced_subgraph"] = f"""
     WHERE src % {SUBGRAPH_MOD} = 0 AND dst % {SUBGRAPH_MOD} = 0
 """
 QUERIES["induced_subgraph"] = q_induced_subgraph
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction (training-pipeline text op)
+# ---------------------------------------------------------------------------
+
+def q_doc_tfidf(spark, sf_dir):
+    """Top-5 terms per document by tf·idf; ranking compares the quantized
+    integer score so order is engine-independent."""
+    from .text.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(spark, sf_dir), k=5)
+
+
+ORACLES["doc_tfidf"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    sc AS (
+        SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+               CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfc) * 1000000)
+                    AS BIGINT) AS score_e6
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_e6 DESC, term ASC) AS rnk FROM sc)
+    SELECT doc_id, term, tf, score_e6, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+"""
+QUERIES["doc_tfidf"] = q_doc_tfidf

@@ -1,0 +1,86 @@
+"""Bucketed edge-table storage — shuffle-free co-partitioned joins.
+
+The engine's supersteps key almost every join and aggregation on ``src``
+(or ``dst`` for pull-model algorithms). On a long-lived corpus the edge
+table is read by MANY jobs; persisting it bucketed by the join key lets
+every one of them skip the initial E-row shuffle entirely — Spark's
+bucketing metadata proves the layout to the planner, so `groupBy("src")`
+plans with ZERO exchanges and a src≡src self-join sort-merges in place
+(verified in tests/test_storage.py by plan inspection). This is the Spark
+analogue of the reference's persistent 2D-hashed edge placement
+(structure/shuffle.py:19-43, detail/graph_utils.cuh:40-78): pay the
+placement shuffle once at ingest, amortize it over every later algorithm.
+
+At 100 TB: bucket count should be sized so each bucket file group is a few
+hundred MB (e.g. 8192 buckets for a 2 TB edge table). The sandbox uses the
+session's in-memory catalog (table metadata lives for the session); a real
+deployment points ``spark.sql.warehouse.dir``/catalog at a persistent
+metastore or Iceberg, where bucket metadata survives across sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .structure.graph import Graph
+
+
+def save_edges_bucketed(
+    edges: DataFrame,
+    table: str,
+    buckets: int | None = None,
+    key: str = "src",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist an edge DataFrame bucketed (and sorted) by ``key``.
+
+    One placement shuffle now; zero shuffles for every later join/agg on
+    ``key``. ``sortBy(key, dst-or-src)`` additionally gives sorted bucket
+    files — the on-disk CSR analogue (COOtoCSR.cuh:62-140 does the same
+    stable sort once on the GPU).
+    """
+    spark = edges.sparkSession
+    if mode == "overwrite":
+        # overwrite semantics must also cover the session-catalog gap: an
+        # in-memory catalog forgets the table between sessions but leaves
+        # the managed location on disk, which saveAsTable then refuses
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        loc = path
+        if loc is None:
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = f"{wh.rstrip('/')}/{table.split('.')[-1].lower()}"
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+    n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    second = "dst" if key == "src" else "src"
+    w = (
+        edges.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n, key)
+        .sortBy(key, second)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def load_edges_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed edge table; the catalog carries the bucket spec, so
+    downstream plans on the bucket key skip their exchange."""
+    return spark.table(table)
+
+
+def graph_from_bucketed(
+    spark: SparkSession, table: str, directed: bool = True, **kw
+) -> Graph:
+    """Build a Graph over a bucketed edge table. Defaults to
+    ``renumber=False`` — the standard flow renumbers BEFORE bucketing (ids
+    are already dense), so re-renumbering would discard the layout."""
+    kw.setdefault("renumber", False)
+    edges = load_edges_bucketed(spark, table)
+    weight = "weight" if "weight" in edges.columns else None
+    return Graph.from_edgelist(edges, weight=weight, directed=directed, **kw)

@@ -109,3 +109,42 @@ def word_shingles(
         .select(id_col, F.concat_ws(" ", F.slice("w", F.col("i"), k)).alias("shingle"))
         .distinct()
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """DF[id, term, tf, score_e6, rnk] — top-``k`` terms per document by
+    tf·idf (idf = ln(N/df), smoothing-free), the standard keyword-extraction
+    pass of a training-data pipeline (beyond the reference — cuGraph has no
+    text layer). Deterministic: ranking compares the QUANTIZED integer
+    score (round(tf·idf·1e6)) with term-lexicographic ties, so result order
+    is engine-independent. Whole pipeline is built-in expressions (same
+    single-space tokenizer as ``token_count``); two hash-agg shuffles
+    (term frequencies, document frequencies) + one broadcast-joined window.
+    """
+    spark = df.sparkSession
+    n_docs = df.count()
+    toks = (
+        df.select(id_col, F.explode(F.split(F.trim(text_col), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfc"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfc")) * F.lit(1e6)
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        tf.join(dfreq, on="term")
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                score.alias("score_e6"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "score_e6", "rnk")
+    )

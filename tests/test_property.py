@@ -113,3 +113,26 @@ def test_pagerank_mass_conservation(spark, rows):
     total = pr.agg(F.sum("pagerank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-6)
     assert pr.filter(F.col("pagerank") <= 0).count() == 0
+
+
+@given(rows=EDGE_LISTS)
+@PROP
+def test_triangle_count_matches_bruteforce(spark, rows):
+    from itertools import combinations
+
+    from linkgraph import triangle_count
+
+    g = Graph.from_edgelist(
+        _df(spark, rows).select("src", "dst"), directed=False, renumber=False
+    )
+    adj = defaultdict(set)
+    for s, d, _ in rows:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    exp = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert triangle_count(g) == exp

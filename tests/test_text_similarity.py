@@ -314,3 +314,29 @@ def test_minhash_lcg_deterministic_across_partitioning(docs):
         ).collect()
     )
     assert a == b
+
+
+def test_tfidf_top_terms(spark):
+    from linkgraph import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple apple common common"),
+        (1, "banana cherry common common"),
+        (2, "durian common common common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    res = {
+        (r.doc_id, r.rnk): (r.term, r.tf)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    import math
+
+    # doc 0: apple tf=3 idf=ln(3/1) beats banana tf=1 idf=ln(3/2)
+    assert res[(0, 1)] == ("apple", 3)
+    # doc 2: durian (unique) beats common (df=3 -> idf=0, score 0)
+    assert res[(2, 1)] == ("durian", 1)
+    # 'common' appears in all docs: idf = ln(1) = 0 -> score exactly 0
+    zero = [
+        r for r in tfidf_top_terms(docs, k=5).collect() if r.term == "common"
+    ]
+    assert zero and all(r.score_e6 == 0 for r in zero)
