@@ -51,6 +51,7 @@ from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
 from .algorithms.random_walks import node2vec_walks, random_walks, rw_path
+from .algorithms.sampling import uniform_neighbor_sample
 from .algorithms.scc import strongly_connected_components
 from .algorithms.betweenness import betweenness_centrality, edge_betweenness_centrality
 from .algorithms.ecg import ecg
@@ -232,6 +233,7 @@ __all__ = [
     "quality_metrics",
     "random_walks",
     "node2vec_walks",
+    "uniform_neighbor_sample",
     "rw_path",
     "renumber_edges",
     "rmat_edges",

@@ -1677,3 +1677,52 @@ ORACLES["doc_tfidf"] = """
     FROM r WHERE rnk <= 5
 """
 QUERIES["doc_tfidf"] = q_doc_tfidf
+
+
+# ---------------------------------------------------------------------------
+# uniform neighbor sampling (GraphSAGE fanout; upstream-cuGraph API shape)
+# ---------------------------------------------------------------------------
+
+UNS_FANOUTS = [3, 2]
+UNS_STARTS = 10
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """rank_mode="lcg" makes each hop's per-src top-k pure BIGINT
+    arithmetic; the oracle unrolls hops with the identical window."""
+    from .algorithms.sampling import uniform_neighbor_sample
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return uniform_neighbor_sample(
+        g, list(range(UNS_STARTS)), fanouts=UNS_FANOUTS, rank_mode="lcg"
+    ).select("hop", "src", "dst")
+
+
+def _neighbor_sample_oracle() -> str:
+    from .algorithms.random_walks import RW_LCG_A, RW_LCG_B, RW_LCG_C, RW_LCG_P
+
+    seed = 42
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        f"f0 AS (SELECT unnest(generate_series(0, {UNS_STARTS - 1})) AS src)",
+    ]
+    for hop, k in enumerate(UNS_FANOUTS):
+        parts.append(
+            f"s{hop} AS MATERIALIZED (SELECT {hop} AS hop, src, dst FROM ("
+            f"SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src ORDER BY "
+            f"({RW_LCG_A} * e.src + {RW_LCG_B * (hop + 1)} + {RW_LCG_C} * e.dst "
+            f"+ {seed}) % {RW_LCG_P} ASC, e.dst ASC) AS rn "
+            f"FROM edges e JOIN f{hop} USING (src)) WHERE rn <= {k})"
+        )
+        parts.append(
+            f"f{hop + 1} AS (SELECT DISTINCT dst AS src FROM s{hop})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST(hop AS INT) AS hop, src, dst FROM s{h}"
+        for h in range(len(UNS_FANOUTS))
+    )
+    return ",\n".join(parts) + f"\n{union}"
+
+
+ORACLES["neighbor_sample"] = _neighbor_sample_oracle()
+QUERIES["neighbor_sample"] = q_neighbor_sample
