@@ -10,7 +10,9 @@ minibatch GNN training-data generation.
 Determinism: the per-edge sampling key is a seeded hash of
 (src, dst, hop) — the same sample at any partitioning or parallelism.
 ``rank_mode="lcg"`` uses plain BIGINT arithmetic so the driver's DuckDB
-oracle replays every sampled edge (xxhash64 has no SQL twin).
+oracle replays every sampled edge (xxhash64 has no SQL twin); lcg mode
+assumes vertex ids < ~2^32 (A·id must stay in int64 — true for dense
+renumbered ids, the standard flow), xxhash has no such bound.
 
 Distributed shape: per hop, ONE edges-join on the (broadcast-gated)
 frontier and one per-src top-k. Selection is a sort-based window

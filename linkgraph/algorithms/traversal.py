@@ -45,9 +45,14 @@ def bfs(
     depth_limit: int | None = None,
     directed: bool | None = None,
     num_partitions: int | None = None,
+    return_sp_counter: bool = False,
 ) -> DataFrame:
     """DF[vertex, distance, predecessor]; unreachable -> null distance,
-    start's predecessor = -1 (internal id space uses -1 like the reference)."""
+    start's predecessor = -1 (internal id space uses -1 like the reference).
+    ``return_sp_counter`` adds an ``sp_counter`` column (number of shortest
+    paths from start, traversal/bfs.py:144-147 — the reference returns it
+    as a third array; the DataFrame-native form is an extra column),
+    accumulated exactly like the Brandes forward pass."""
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = graph.edges.select("src", "dst")
@@ -58,37 +63,49 @@ def bfs(
     bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
 
     s = _internal_source(graph, start)
-    # visited(vertex, distance, predecessor)
+    # visited(vertex, distance, predecessor, sp_counter)
     visited = spark.createDataFrame(
-        [(s, 0, -1)], "vertex LONG, distance LONG, predecessor LONG"
+        [(s, 0, -1, 1.0)],
+        "vertex LONG, distance LONG, predecessor LONG, sp_counter DOUBLE",
     ).localCheckpoint(eager=False)
-    frontier = visited.select("vertex")
+    frontier = visited.select("vertex", "sp_counter")
     depth = 0
     with no_aqe(spark):
         while depth_limit is None or depth < depth_limit:
             depth += 1
-            f_src = frontier.select(F.col("vertex").alias("src"))
+            f_src = frontier.select(F.col("vertex").alias("src"), "sp_counter")
             f_src = F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
             nxt = (
                 edges.join(f_src, on="src")
                 .groupBy("dst")
-                .agg(F.min("src").alias("predecessor"))
+                .agg(
+                    F.min("src").alias("predecessor"),
+                    F.sum("sp_counter").alias("sp_counter"),
+                )
                 .withColumnRenamed("dst", "vertex")
             )
             v_keys = visited.select("vertex")
             nxt = nxt.join(
                 F.broadcast(v_keys) if bcast else v_keys, on="vertex", how="left_anti"
-            ).select("vertex", F.lit(depth).cast("long").alias("distance"), "predecessor")
+            ).select(
+                "vertex",
+                F.lit(depth).cast("long").alias("distance"),
+                "predecessor",
+                "sp_counter",
+            )
             nxt = nxt.localCheckpoint(eager=False)
             n_new = nxt.count()
             if n_new == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-            frontier = nxt.select("vertex")
+            frontier = nxt.select("vertex", "sp_counter")
+    cols = ["vertex", "distance", "predecessor"] + (
+        ["sp_counter"] if return_sp_counter else []
+    )
     out = (
         graph.vertices()
         .join(visited, on="vertex", how="left")
-        .select("vertex", "distance", "predecessor")
+        .select(*cols)
     )
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")

@@ -134,3 +134,21 @@ def test_shortest_path_alias_and_all_targets(spark):
     all_d = {r.vertex: r.distance for r in shortest_path_length(g, 0).collect()}
     assert all_d[2] == 3.0 and all_d[3] == 10.0
     assert shortest_path_length(g, 0, 2) == 3.0
+
+
+def test_bfs_sp_counter(spark):
+    """sp_counter = number of shortest paths from the source (reference
+    traversal/bfs.py return_sp_counter)."""
+    # diamond: 0->1, 0->2, 1->3, 2->3 -> two shortest paths to 3
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src LONG, dst LONG"
+    )
+    g = Graph.from_edgelist(e, renumber=False, directed=True)
+    res = {r.vertex: (r.distance, r.sp_counter)
+           for r in bfs(g, 0, return_sp_counter=True).collect()}
+    assert res[0] == (0, 1.0)
+    assert res[1] == (1, 1.0) and res[2] == (1, 1.0)
+    assert res[3] == (2, 2.0)
+    assert res[4] == (3, 2.0)
+    # default: no sp_counter column (unchanged contract)
+    assert "sp_counter" not in bfs(g, 0).columns
