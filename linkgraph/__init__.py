@@ -120,6 +120,11 @@ from .text.analysis import (
     word_shingles,
 )
 from .compat import (
+    analyzeClustering_edge_cut,
+    analyzeClustering_modularity,
+    analyzeClustering_ratio_cut,
+    from_adjlist,
+    from_cudf_edgelist,
     from_edgelist,
     is_weighted,
     jaccard_coefficient,
@@ -167,6 +172,9 @@ __all__ = [
     "analyze_clustering_edge_cut",
     "analyze_clustering_modularity",
     "analyze_clustering_ratio_cut",
+    "analyzeClustering_edge_cut",
+    "analyzeClustering_modularity",
+    "analyzeClustering_ratio_cut",
     "betweenness_centrality",
     "edge_betweenness_centrality",
     "bfs",
@@ -260,6 +268,8 @@ __all__ = [
     "tfidf_top_terms",
     "triangle_count",
     "triangles",
+    "from_adjlist",
+    "from_cudf_edgelist",
     "from_edgelist",
     "is_weighted",
     "jaccard_coefficient",

@@ -123,7 +123,12 @@ def weakly_connected_components(
 
 
 def connected_components(graph: Graph, connection: str = "weak", **kw) -> DataFrame:
-    """components/connectivity.py:296-384 dispatch; only 'weak' in v1."""
-    if connection != "weak":
-        raise NotImplementedError("only weak connectivity implemented")
-    return weakly_connected_components(graph, **kw)
+    """components/connectivity.py:296-384 dispatch: 'weak' -> WCC here,
+    'strong' -> the trim+multi-pivot-coloring SCC (algorithms/scc.py)."""
+    if connection == "weak":
+        return weakly_connected_components(graph, **kw)
+    if connection == "strong":
+        from .scc import strongly_connected_components
+
+        return strongly_connected_components(graph, **kw)
+    raise ValueError(f"unknown connection type {connection!r}")
