@@ -59,11 +59,16 @@ def _brandes(graph, k, seed, num_partitions, want_edges):
     # random sampling, betweenness_centrality.py:seed); all-vertices if k None;
     # an explicit vertex list mirrors the reference's "k : int or list"
     if isinstance(k, (list, tuple)):
+        if not k:
+            raise ValueError("betweenness source list must be non-empty")
         internal = (
             [graph._to_internal(v) for v in k] if graph.renumbered else [int(v) for v in k]
         )
         if any(v is None for v in internal):
             raise ValueError("betweenness source vertex not in graph")
+        # ADVICE r2: dedupe — a vertex listed twice would double-count its
+        # sigma contributions and inflate k_eff in the rescale
+        internal = sorted(set(internal))
         sources = spark.createDataFrame([(v,) for v in internal], "s LONG")
         k_eff = len(internal)
     elif k is None or k >= n:

@@ -30,11 +30,18 @@ def katz_centrality(
     beta: float = 1.0,
     max_iter: int = 100,
     tol: float = 1.0e-6,
+    nstart: DataFrame | None = None,
     normalized: bool = True,
     num_partitions: int | None = None,
     fixed_iterations: int | None = None,
 ) -> DataFrame:
-    """Returns DF[vertex, katz_centrality]."""
+    """Returns DF[vertex, katz_centrality].
+
+    ``nstart``: optional DF[vertex, values] initial guess in EXTERNAL ids
+    (centrality/katz_centrality.py:80-86,119-126 — the reference renumbers
+    it before handing it to the kernel). Vertices absent from ``nstart``
+    start at 0.
+    """
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     w = F.col("weight") if graph.weighted else F.lit(1.0)
@@ -51,7 +58,18 @@ def katz_centrality(
         alpha = 1.0 / float(dmax)
 
     verts = graph.vertices()
-    state = verts.select("vertex", F.lit(0.0).alias("c")).localCheckpoint(eager=False)
+    if nstart is None:
+        state = verts.select("vertex", F.lit(0.0).alias("c"))
+    else:
+        ns = nstart.select("vertex", F.col("values").alias("c0"))
+        if graph.renumbered:
+            ns = graph.nmap.add_internal_vertex_id(
+                ns, "vertex", "__vid__"
+            ).withColumnRenamed("__vid__", "vertex")
+        state = verts.join(ns, on="vertex", how="left").select(
+            "vertex", F.coalesce("c0", F.lit(0.0)).cast("double").alias("c")
+        )
+    state = state.localCheckpoint(eager=False)
     converged = fixed_iterations is not None
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     with no_aqe(spark):

@@ -142,6 +142,51 @@ def decode_image_stats(media: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+def image_stats_checked(media: DataFrame, strict: bool = False) -> DataFrame:
+    """image rows -> (media_id, width, height, mean_r_e2, chk): the
+    value-oracle twin of :func:`decode_image_stats`. The red-channel mean is
+    quantized with EXACT integer half-up arithmetic ((200·Σr + wh) // 2wh)
+    and ``chk`` is the int64 sum of all decoded payload bytes, so a
+    generator-definition manifest (:func:`image_manifest`) can reproduce
+    every value without floats — any corruption across encode → shuffle →
+    Arrow batch → decode changes chk or the stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["data"]):
+                arr = _decode_image_bytes(bytes(b), strict)
+                h, w, _ = arr.shape
+                wh = w * h
+                sum_r = int(arr[:, :, 0].astype(np.int64).sum())
+                chk = int(arr.astype(np.int64).sum())
+                out.append((mid, w, h, (200 * sum_r + wh) // (2 * wh), chk))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_r_e2", "chk"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, width int, height int, mean_r_e2 long, chk long"
+    )
+
+
+def image_manifest(n: int, seed: int = 42) -> pd.DataFrame:
+    """Per-image expected (width, height, sum_r, chk) derived straight from
+    the generator DEFINITION (the seeded rng draw — generate_media's image
+    branch), skipping the encode/decode byte path entirely. Driver-side and
+    bounded (test-harness scale); the distributed path under test is
+    generate_media -> image_stats_checked."""
+    rows = []
+    for i in range(n):
+        if i % 3 != 0:  # images occupy the i % 3 == 0 slots
+            continue
+        rng = np.random.default_rng([seed, int(i)])
+        w, h = 16 + i % 17, 16 + i % 13
+        payload = rng.integers(0, 256, w * h * 3, dtype=np.uint8).astype(np.int64)
+        rows.append((i, w, h, int(payload[0::3].sum()), int(payload.sum())))
+    return pd.DataFrame(rows, columns=["media_id", "width", "height", "sum_r", "chk"])
+
+
 def resize_images(media: DataFrame, size: int = 8, strict: bool = False) -> DataFrame:
     """image rows -> (media_id, thumb: array<int>) — nearest-neighbor resize
     to size x size, flattened grayscale (a feature-extraction proxy)."""

@@ -1074,15 +1074,22 @@ def _random_walks_oracle() -> str:
 
 
 def q_media_image_stats(spark, sf_dir):
-    from .multimodal import decode_image_stats, generate_media
+    """Value-checked (VERDICT r2 item 7): the distributed path is
+    generate_media -> binary encode -> Arrow-batched decode ->
+    integer-exact stats + payload checksum; the oracle recomputes every
+    value from the generator-DEFINITION manifest (seeded rng redraw,
+    no byte path) written as a sidecar. Pure function of (n, seed), so
+    the sidecar is run-order independent."""
+    import os
 
-    media = generate_media(spark, 90, seed=42)
-    return decode_image_stats(media).select(
-        "media_id",
-        "width",
-        "height",
-        F.round(F.col("mean_r") * 100).cast("long").alias("mean_r_e2"),
+    from .multimodal import generate_media, image_manifest, image_stats_checked
+
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    image_manifest(90, seed=42).to_parquet(
+        f"{SIDECAR_DIR}/media_manifest.parquet", index=False
     )
+    media = generate_media(spark, 90, seed=42)
+    return image_stats_checked(media)
 
 
 ORACLES["ktruss"] = _ktruss_oracle()
@@ -1153,7 +1160,14 @@ QUERIES.update(
         "media_image_stats": q_media_image_stats,
     }
 )
-NO_ORACLE |= {"media_image_stats"}
+ORACLES["media_image_stats"] = """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           (200 * sum_r + width * height) // (2 * width * height) AS mean_r_e2,
+           CAST(chk AS BIGINT) AS chk
+    FROM read_parquet('/tmp/linkgraph_sidecar/media_manifest.parquet')
+"""
 
 
 # --- clustering-quality metrics over a deterministic labeling ---------------
@@ -1206,16 +1220,83 @@ ORACLES["clustering_metrics"] = f"""
 QUERIES["clustering_metrics"] = q_clustering_metrics
 
 
+# --- community-label self-consistency oracles --------------------------------
+#
+# Louvain/Leiden/ECG labels are not SQL-replicable (the move sequence isn't a
+# relational program), but modularity OF THE EMITTED LABELS is: the query
+# writes its (vertex, partition) rows to a sidecar parquet and appends a
+# quantized modularity column computed by the engine's own metric; the DuckDB
+# oracle reads the sidecar back and RE-DERIVES modularity from the raw edge
+# table + those labels in SQL. A broken flatten/relabel/unrenumber changes the
+# emitted labels' modularity on one side only -> hash mismatch. The sidecar is
+# a test-harness channel (V rows on the fixed 400-vertex supply graph), not an
+# engine code path.
+
+SIDECAR_DIR = "/tmp/linkgraph_sidecar"
+
+
+def _community_result(spark, g: Graph, labels, name: str, label_col: str):
+    """Materialize labels once, write the sidecar, return DF[vertex,
+    <label_col>, q_e6] built from the SAME pandas frame (so the driver
+    collects exactly the sidecar's rows even if the algorithm had any
+    run-to-run freedom)."""
+    import os
+
+    from .algorithms.clustering_metrics import analyze_clustering_modularity
+
+    pdf = labels.toPandas().sort_values("vertex").reset_index(drop=True)
+    pdf["vertex"] = pdf["vertex"].astype("int64")
+    pdf[label_col] = pdf[label_col].astype("int64")
+    lab_df = spark.createDataFrame(pdf).select(
+        "vertex", F.col(label_col).alias("labels")
+    )
+    q = analyze_clustering_modularity(g, lab_df)
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    pdf.to_parquet(f"{SIDECAR_DIR}/{name}.parquet", index=False)
+    pdf["q_e6"] = int(round(q * 1e6))
+    return spark.createDataFrame(pdf)
+
+
+def _modularity_of_sidecar_sql(name: str, label_col: str) -> str:
+    """DuckDB: recompute modularity of the sidecar labels from the supply
+    edges (same formula as the green clustering_metrics oracle)."""
+    lc = f'"{label_col}"'
+    return f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+    lab AS (SELECT CAST(vertex AS BIGINT) AS vertex, CAST({lc} AS BIGINT) AS p
+            FROM read_parquet('{SIDECAR_DIR}/{name}.parquet')),
+    ut AS (SELECT s.src, s.dst, 1.0 AS w, l1.p AS c_src, l2.p AS c_dst
+           FROM sym s JOIN lab l1 ON s.src = l1.vertex
+                      JOIN lab l2 ON s.dst = l2.vertex
+           WHERE s.src <= s.dst),
+    m AS (SELECT sum(w) AS m FROM ut),
+    inside AS (SELECT c_src AS c, sum(w) AS in_w FROM ut WHERE c_src = c_dst GROUP BY c_src),
+    tot AS (SELECT c, sum(w) AS tot_w FROM
+            (SELECT c_src AS c, w FROM ut UNION ALL SELECT c_dst AS c, w FROM ut) t
+            GROUP BY c),
+    q AS (SELECT sum(coalesce(i.in_w, 0.0) / (SELECT m FROM m)
+                 - (t.tot_w / (2.0 * (SELECT m FROM m))) * (t.tot_w / (2.0 * (SELECT m FROM m)))) AS q
+          FROM tot t LEFT JOIN inside i ON t.c = i.c)
+    SELECT l.vertex, l.p AS {lc},
+           CAST(round((SELECT q FROM q) * 1e6) AS BIGINT) AS q_e6
+    FROM lab l
+    """
+
+
 def q_louvain(spark, sf_dir):
     from .algorithms.louvain import louvain as _louvain
 
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
     res, _q = _louvain(g)
-    return res.select("vertex", "partition")
+    return _community_result(
+        spark, g, res.select("vertex", "partition"), "louvain", "partition"
+    )
 
 
 QUERIES["louvain"] = q_louvain
-NO_ORACLE.add("louvain")
+ORACLES["louvain"] = _modularity_of_sidecar_sql("louvain", "partition")
 
 
 # --- SSSP with an unrolled Bellman-Ford oracle (integer-valued weights) ------
@@ -1299,7 +1380,9 @@ def q_leiden(spark, sf_dir):
 
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
     res, _q = _leiden(g)
-    return res.select("vertex", "partition")
+    return _community_result(
+        spark, g, res.select("vertex", "partition"), "leiden", "partition"
+    )
 
 
 def q_ecg(spark, sf_dir):
@@ -1307,25 +1390,60 @@ def q_ecg(spark, sf_dir):
 
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
     res, _q = _ecg(g, ensemble_size=4)
-    return res.select("vertex", "partition")
+    return _community_result(
+        spark, g, res.select("vertex", "partition"), "ecg", "partition"
+    )
 
 
 QUERIES["leiden"] = q_leiden
 QUERIES["ecg"] = q_ecg
-NO_ORACLE |= {"leiden", "ecg"}
+ORACLES["leiden"] = _modularity_of_sidecar_sql("leiden", "partition")
+ORACLES["ecg"] = _modularity_of_sidecar_sql("ecg", "partition")
 
 
 def q_spectral_balanced_cut(spark, sf_dir):
-    """Rows-only (k-means labels aren't SQL-replicable; the eigensolver is
-    pinned against dense numpy eigh in tests/test_spectral.py)."""
+    """The k-means labels aren't SQL-replicable (the eigensolver is pinned
+    against dense numpy eigh in tests/test_spectral.py), but the emitted
+    labeling's invariants are: sidecar labels + quantized edge-cut +
+    per-cluster size, re-derived by the oracle from the raw edges."""
+    from .algorithms.clustering_metrics import analyze_clustering_edge_cut
     from .algorithms.spectral import spectral_balanced_cut_clustering
+    import os
 
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
-    return spectral_balanced_cut_clustering(g, num_clusters=4, num_eigen_vects=4)
+    res = spectral_balanced_cut_clustering(g, num_clusters=4, num_eigen_vects=4)
+    pdf = res.toPandas().sort_values("vertex").reset_index(drop=True)
+    pdf["vertex"] = pdf["vertex"].astype("int64")
+    pdf["cluster"] = pdf["cluster"].astype("int64")
+    lab_df = spark.createDataFrame(pdf).select(
+        "vertex", F.col("cluster").alias("labels")
+    )
+    cut = analyze_clustering_edge_cut(g, lab_df)
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    pdf.to_parquet(f"{SIDECAR_DIR}/spectral_balanced_cut.parquet", index=False)
+    sizes = pdf.groupby("cluster").size()
+    pdf["cluster_size"] = pdf["cluster"].map(sizes).astype("int64")
+    pdf["cut_e2"] = int(round(cut * 100))
+    return spark.createDataFrame(pdf)
 
 
+ORACLES["spectral_balanced_cut"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+    lab AS (SELECT CAST(vertex AS BIGINT) AS vertex, CAST(cluster AS BIGINT) AS p
+            FROM read_parquet('{SIDECAR_DIR}/spectral_balanced_cut.parquet')),
+    ut AS (SELECT s.src, s.dst, 1.0 AS w, l1.p AS c_src, l2.p AS c_dst
+           FROM sym s JOIN lab l1 ON s.src = l1.vertex
+                      JOIN lab l2 ON s.dst = l2.vertex
+           WHERE s.src <= s.dst),
+    cut AS (SELECT coalesce(sum(w), 0.0) AS cut FROM ut WHERE c_src <> c_dst),
+    sizes AS (SELECT p, count(*) AS n FROM lab GROUP BY p)
+    SELECT l.vertex, l.p AS cluster, s.n AS cluster_size,
+           CAST(round((SELECT cut FROM cut) * 100) AS BIGINT) AS cut_e2
+    FROM lab l JOIN sizes s ON l.p = s.p
+"""
 QUERIES["spectral_balanced_cut"] = q_spectral_balanced_cut
-NO_ORACLE.add("spectral_balanced_cut")
 
 
 # betweenness: deterministic source subset (v % BC_SOURCE_MOD == 0 — the
@@ -1412,12 +1530,21 @@ def _betweenness_oracle() -> str:
         "bcr AS (SELECT v, sum(delta) AS bc FROM alldel WHERE s <> v GROUP BY v),"
         "nn AS (SELECT count(*) AS n FROM verts),"
         f"kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM verts"
-        f" WHERE v % {BC_SOURCE_MOD} = 0) "
+        f" WHERE v % {BC_SOURCE_MOD} = 0),"
+        # ADVICE r2: BC_LEVELS is a data-dependent eccentricity bound — fail
+        # LOUDLY if one more expansion level would still reach new pairs
+        # (i.e. the BFS was truncated before its fixpoint) instead of
+        # silently hashing a wrong answer.
+        f"chk AS (SELECT count(*) AS extra FROM dist p "
+        f"JOIN sym e ON e.src = p.v AND p.d = {L} "
+        f"LEFT JOIN dist x ON x.s = p.s AND x.v = e.dst WHERE x.v IS NULL) "
+        "SELECT vt.v AS vertex, "
+        "CASE WHEN (SELECT extra FROM chk) > 0 "
+        "THEN CAST(error('BC oracle truncated: raise BC_LEVELS') AS BIGINT) "
         # engine scale for undirected+normalized+sampled:
         # 0.5 * 2/((n-1)(n-2)) * n/k  ==  (n/k) / ((n-1)(n-2))
-        "SELECT vt.v AS vertex, "
-        "CAST(round(coalesce(b.bc, 0) / ((nn.n - 1) * (nn.n - 2)) * (nn.n / kk.k)"
-        " * 100000) AS BIGINT) AS bc_e5 "
+        "ELSE CAST(round(coalesce(b.bc, 0) / ((nn.n - 1) * (nn.n - 2)) * (nn.n / kk.k)"
+        " * 100000) AS BIGINT) END AS bc_e5 "
         "FROM verts vt CROSS JOIN nn CROSS JOIN kk LEFT JOIN bcr b ON b.v = vt.v"
     )
     return "\n".join(parts)
@@ -1517,19 +1644,94 @@ def q_events_sessions(spark, sf_dir):
 
 
 def q_emb_ivf_topk(spark, sf_dir):
-    """Rows-only (trained-quantizer cells aren't SQL-replicable; recall is
-    pinned vs brute force in tests/test_text_similarity.py)."""
+    """Trained-quantizer cells aren't SQL-replicable, but the emitted
+    candidate lists' RECALL against the exact top-k is (VERDICT r2 item 7):
+    the query writes its (query_id, neighbor_id, rnk) rows to a sidecar
+    parquet and appends a per-query recall_e2 column measured against the
+    engine's own brute-force tier; the oracle recomputes the exact top-k
+    in SQL, re-derives recall of the sidecar rows, and fails LOUDLY below
+    a sanity floor. The k-means training randomness itself stays
+    pytest-pinned (test_text_similarity.py::test_ivf_topk_recall)."""
+    import os
+
     from .similarity import ivf_cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(
-        emb, queries, k=10, n_cells=32, nprobe=4
+    # cells/probe sized for the driver table's weak cluster structure
+    # (measured: 8/4 -> recall 0.76-0.83 at sf0.001/0.01; 32/4 collapses
+    # to ~0.3 because near-uniform vectors spread over all cells)
+    res = ivf_cosine_topk(
+        emb, queries, k=10, n_cells=8, nprobe=4
     ).select("query_id", "neighbor_id", "rnk")
+    pdf = res.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype("int64")
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    pdf.to_parquet(f"{SIDECAR_DIR}/emb_ivf_topk.parquet", index=False)
+
+    # exact top-10 with the same integer-quantized dot as emb_topk
+    qe = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("be"))
+    dot = F.expr(
+        "aggregate(zip_with(qe, be, (x, y) -> "
+        "cast(round(cast(x as double)*1000) as bigint) * "
+        "cast(round(cast(y as double)*1000) as bigint)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    exact = (
+        qe.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot_q"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    overlap = {
+        r["query_id"]: r["n"]
+        for r in spark.createDataFrame(pdf[["query_id", "neighbor_id"]])
+        .join(exact, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    pdf["recall_e2"] = (
+        pdf["query_id"].map(lambda q: overlap.get(q, 0) * 10).astype("int64")
+    )
+    return spark.createDataFrame(pdf)
 
 
+ORACLES["emb_ivf_topk"] = f"""
+    WITH lab AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                        CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                        CAST(rnk AS BIGINT) AS rnk
+                 FROM read_parquet('{SIDECAR_DIR}/emb_ivf_topk.parquet')),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(sum(CAST(round(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(round(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot_q
+        FROM q, embeddings b, generate_series(1, 64) AS t(i)
+        WHERE b.vec_id <> q.vec_id
+        GROUP BY q.vec_id, b.vec_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, neighbor_id ASC) AS rnk
+        FROM pairs) t WHERE rnk <= 10),
+    rec AS (SELECT l.query_id, count(e.neighbor_id) * 10 AS recall_e2
+            FROM lab l LEFT JOIN exact e
+              ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+            GROUP BY l.query_id)
+    SELECT l.query_id, l.neighbor_id, l.rnk,
+           CASE WHEN r.recall_e2 < 50
+                THEN CAST(error('IVF recall collapsed below 0.5') AS BIGINT)
+                ELSE r.recall_e2 END AS recall_e2
+    FROM lab l JOIN rec r ON l.query_id = r.query_id
+"""
 QUERIES["emb_ivf_topk"] = q_emb_ivf_topk
-NO_ORACLE.add("emb_ivf_topk")
 
 
 ORACLES["events_sessions"] = f"""

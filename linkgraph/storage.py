@@ -44,12 +44,26 @@ def save_edges_bucketed(
     if mode == "overwrite":
         # overwrite semantics must also cover the session-catalog gap: an
         # in-memory catalog forgets the table between sessions but leaves
-        # the managed location on disk, which saveAsTable then refuses
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # the managed location on disk, which saveAsTable then refuses.
+        # ADVICE r2: resolve the table's REAL location — from the catalog
+        # when the table is registered, else the default managed layout
+        # (<warehouse>/<db>.db/<tbl> for qualified names, <warehouse>/<tbl>
+        # for the default database) — never a bare-name guess that could
+        # hit an unrelated table's directory.
         loc = path
+        if loc is None and spark.catalog.tableExists(table):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if r.col_name == "Location":
+                    loc = r.data_type
+                    break
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         if loc is None:
-            wh = spark.conf.get("spark.sql.warehouse.dir")
-            loc = f"{wh.rstrip('/')}/{table.split('.')[-1].lower()}"
+            wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            parts = table.lower().split(".")
+            if len(parts) >= 2 and parts[-2] != "default":
+                loc = f"{wh}/{parts[-2]}.db/{parts[-1]}"
+            else:
+                loc = f"{wh}/{parts[-1]}"
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(loc)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())

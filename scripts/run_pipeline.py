@@ -27,7 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _check_stale_zip() -> None:
+    """Refuse to run against a dist/linkgraph.zip older than the newest
+    source file (VERDICT r2: stale-launch foot-gun). The zip is only used
+    by spark-submit --py-files; a stale one silently ships an old engine."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(root, "dist", "linkgraph.zip")
+    if not os.path.exists(zip_path):
+        return
+    newest = 0.0
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "linkgraph")):
+        for f in files:
+            if f.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+    if os.path.getmtime(zip_path) < newest:
+        sys.exit(
+            "dist/linkgraph.zip is older than the newest linkgraph/ source "
+            "file - rebuild it first: bash scripts/make_pyfiles.sh"
+        )
+
+
 def main() -> None:
+    _check_stale_zip()
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-dir", help="parquet dir of pages (url, warc_ts, html, text, lang)")
     ap.add_argument("--n-pages", type=int, default=0, help="synthesize a corpus instead")

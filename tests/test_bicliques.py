@@ -53,3 +53,42 @@ def test_offset_and_support(spark):
     )
     assert S.count() == 1
     assert {r.vert for r in B.collect() if r.type == 1} == set(range(100, 105))
+
+
+def test_driver_rounds_bounded_by_tiers(spark):
+    """r3 batch rewrite: 10^4 features must cost O(#tiers) driver actions,
+    not O(#features)."""
+    n_feat = 10_000
+    rows = []
+    # each feature i owned by machines {i%50 .. i%50+4}: 5 edges/feature
+    for i in range(n_feat):
+        base = i % 50
+        for m in range(base, base + 5):
+            rows.append((m, 1_000 + i, 0))
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, flag INT")
+    B, S = find_bicliques(
+        df, k=3, support=1.0, min_features=0, min_machines=5, batch_size=2048
+    )
+    # 1 summary + <= ceil(10k/2048)=5 tiers (early-stop may use fewer) + 1 assembly
+    assert find_bicliques.last_driver_rounds <= 1 + 5 + 1
+    assert S.count() == 3
+
+
+def test_batch_matches_visit_order_semantics(spark):
+    """Tier boundaries must not change which bicliques are emitted: compare
+    batch_size=2 against one big tier on a mixed graph."""
+    rows = []
+    for m in range(10):
+        for f in (100, 101, 102):  # identical machine sets -> 1 emission
+            rows.append((m, f, 1 if m == 0 else 0))
+    for m in range(4, 12):
+        rows.append((m, 103, 0))  # overlapping, distinct machine set
+    for m in range(20, 26):
+        for f in (104, 105):
+            rows.append((m, f, 0))
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, flag INT")
+    kw = dict(k=-1, support=0.5, min_features=0, min_machines=5)
+    small = find_bicliques(df, batch_size=2, **kw)
+    big = find_bicliques(df, batch_size=10_000, **kw)
+    for a, b in zip(small, big):
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

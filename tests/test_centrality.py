@@ -80,3 +80,62 @@ def test_hits_asymmetric(spark):
     for v in range(V):
         assert abs(got[v][0] - h[v]) < 1e-6
         assert abs(got[v][1] - a[v]) < 1e-6
+
+
+def test_katz_nstart_converges_to_same_fixpoint(spark):
+    """nstart is an initial guess — the fixpoint is unique for alpha <
+    1/lambda_max, so warm and cold starts must agree (reference
+    katz_centrality.py:80-86)."""
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight", renumber=False,
+        directed=False,
+    )
+    cold = {r.vertex: r.katz_centrality
+            for r in katz_centrality(g, alpha=0.02, tol=1e-9, max_iter=1000).collect()}
+    ns = spark.createDataFrame(
+        [(v, 0.5) for v in range(0, g.number_of_vertices(), 2)],
+        "vertex LONG, values DOUBLE",
+    )
+    warm = {r.vertex: r.katz_centrality
+            for r in katz_centrality(g, alpha=0.02, tol=1e-9, max_iter=1000,
+                                     nstart=ns).collect()}
+    for v in cold:
+        assert abs(cold[v] - warm[v]) < 1e-6
+
+
+def test_katz_nstart_external_ids(spark):
+    """nstart carries EXTERNAL ids on a renumbered graph."""
+    e = spark.createDataFrame(
+        [(100, 200), (200, 300), (300, 100)], "src LONG, dst LONG"
+    )
+    g = Graph.from_edgelist(e, renumber=True, directed=True)
+    ns = spark.createDataFrame(
+        [(100, 1.0), (200, 1.0), (300, 1.0)], "vertex LONG, values DOUBLE"
+    )
+    res = katz_centrality(g, alpha=0.1, tol=1e-9, max_iter=500, nstart=ns)
+    got = {r.vertex: r.katz_centrality for r in res.collect()}
+    assert set(got) == {100, 200, 300}
+    # symmetric cycle: all three scores equal
+    vals = list(got.values())
+    assert max(vals) - min(vals) < 1e-9
+
+
+def test_hits_nstart_and_fused_delta(spark):
+    """nstart seeds the hub vector; with a uniform nstart the result equals
+    the default init, and the fused-delta iteration still matches the
+    NumPy oracle."""
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate-asymmetric.csv"), weight="weight",
+        renumber=False, directed=True,
+    )
+    V = g.number_of_vertices()
+    src, dst = _coo(g)
+    ns = spark.createDataFrame(
+        [(v, 2.5) for v in range(V)], "vertex LONG, values DOUBLE"
+    )
+    res = hits(g, max_iter=50, tol=1e-8, nstart=ns)
+    got = {r.vertex: (r.hubs, r.authorities) for r in res.collect()}
+    h, a = oracle_hits(src, dst, V, 50, 1e-8)
+    for v in range(V):
+        assert abs(got[v][0] - h[v]) < 1e-6
+        assert abs(got[v][1] - a[v]) < 1e-6

@@ -59,3 +59,26 @@ def test_graph_from_bucketed_runs_pagerank(spark, bucketed):
     pr2 = {r.vertex: r.pagerank for r in pagerank(g2, fixed_iterations=3).collect()}
     for r in pr.collect():
         assert abs(pr2[r.vertex] - r.pagerank) < 1e-12
+
+
+def test_db_qualified_overwrite_keeps_unrelated_table(spark):
+    """ADVICE r2: overwriting db.tbl must not delete an unrelated table that
+    shares the bare name in another database."""
+    e1 = spark.range(100).select(
+        (F.col("id") % 20).alias("src"), ((F.col("id") + 1) % 20).alias("dst")
+    )
+    e2 = spark.range(60).select(
+        (F.col("id") % 10).alias("src"), ((F.col("id") + 3) % 10).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS lgtest")
+    # unrelated table with the SAME bare name in the default database
+    save_edges_bucketed(e1.filter(F.col("src") != F.col("dst")), "shared_name", buckets=4)
+    before = spark.table("shared_name").count()
+    # overwrite the db-qualified twin twice (second write exercises cleanup)
+    save_edges_bucketed(e2, "lgtest.shared_name", buckets=4)
+    save_edges_bucketed(e2, "lgtest.shared_name", buckets=4)
+    assert spark.table("shared_name").count() == before
+    assert spark.table("lgtest.shared_name").count() == e2.count()
+    spark.sql("DROP TABLE IF EXISTS lgtest.shared_name")
+    spark.sql("DROP TABLE IF EXISTS shared_name")
+    spark.sql("DROP DATABASE IF EXISTS lgtest")
