@@ -1235,11 +1235,16 @@ QUERIES["clustering_metrics"] = q_clustering_metrics
 SIDECAR_DIR = "/tmp/linkgraph_sidecar"
 
 
-def _community_result(spark, g: Graph, labels, name: str, label_col: str):
+def _community_result(spark, g: Graph, labels, name: str, label_col: str,
+                      engine_q: float | None = None):
     """Materialize labels once, write the sidecar, return DF[vertex,
     <label_col>, q_e6] built from the SAME pandas frame (so the driver
     collects exactly the sidecar's rows even if the algorithm had any
-    run-to-run freedom)."""
+    run-to-run freedom). When the algorithm reports its own best
+    modularity (``engine_q``), assert it equals the modularity of the
+    EMITTED labels — a broken flatten/relabel makes the two diverge and
+    the query fails loudly instead of hashing a consistent-but-wrong
+    answer."""
     import os
 
     from .algorithms.clustering_metrics import analyze_clustering_modularity
@@ -1251,6 +1256,11 @@ def _community_result(spark, g: Graph, labels, name: str, label_col: str):
         "vertex", F.col(label_col).alias("labels")
     )
     q = analyze_clustering_modularity(g, lab_df)
+    if engine_q is not None and abs(engine_q - q) > 1e-6:
+        raise AssertionError(
+            f"{name}: reported modularity {engine_q} != modularity of "
+            f"emitted labels {q} — flatten/relabel is broken"
+        )
     os.makedirs(SIDECAR_DIR, exist_ok=True)
     pdf.to_parquet(f"{SIDECAR_DIR}/{name}.parquet", index=False)
     pdf["q_e6"] = int(round(q * 1e6))
@@ -1291,7 +1301,8 @@ def q_louvain(spark, sf_dir):
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
     res, _q = _louvain(g)
     return _community_result(
-        spark, g, res.select("vertex", "partition"), "louvain", "partition"
+        spark, g, res.select("vertex", "partition"), "louvain", "partition",
+        engine_q=_q,
     )
 
 
@@ -1381,7 +1392,8 @@ def q_leiden(spark, sf_dir):
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
     res, _q = _leiden(g)
     return _community_result(
-        spark, g, res.select("vertex", "partition"), "leiden", "partition"
+        spark, g, res.select("vertex", "partition"), "leiden", "partition",
+        engine_q=_q,
     )
 
 
@@ -1391,7 +1403,8 @@ def q_ecg(spark, sf_dir):
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
     res, _q = _ecg(g, ensemble_size=4)
     return _community_result(
-        spark, g, res.select("vertex", "partition"), "ecg", "partition"
+        spark, g, res.select("vertex", "partition"), "ecg", "partition",
+        engine_q=_q,
     )
 
 
