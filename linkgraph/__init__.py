@@ -77,6 +77,7 @@ from .structure.graph import (
     from_pandas_edgelist,
 )
 from .structure.bicliques import find_bicliques
+from .structure.contract import contract_vertices, host_edges, host_of
 from .structure.graph_classes import (
     BiPartiteDiGraph,
     BiPartiteGraph,
@@ -112,6 +113,7 @@ from .similarity import (
 )
 from .text.analysis import (
     bpe_ish_token_count,
+    repetition_metrics,
     tfidf_top_terms,
     fingerprint,
     language_id,
@@ -169,6 +171,9 @@ __all__ = [
     "NumberMap",
     "PageRankConvergenceError",
     "batched_ego_graphs",
+    "contract_vertices",
+    "host_edges",
+    "host_of",
     "analyze_clustering_edge_cut",
     "analyze_clustering_modularity",
     "analyze_clustering_ratio_cut",
@@ -265,6 +270,7 @@ __all__ = [
     "resize_images",
     "symmetrize_edges",
     "token_count",
+    "repetition_metrics",
     "tfidf_top_terms",
     "triangle_count",
     "triangles",

@@ -37,9 +37,20 @@ from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 
 def core_number(
-    graph: Graph, num_partitions: int | None = None, max_iter: int = 10_000
+    graph: Graph,
+    num_partitions: int | None = None,
+    max_iter: int = 10_000,
+    fixed_iterations: int | None = None,
+    round_timings: list | None = None,
 ) -> DataFrame:
-    """Returns DF[vertex, core_number] for every vertex (isolated -> 0)."""
+    """Returns DF[vertex, core_number] for every vertex (isolated -> 0).
+
+    ``fixed_iterations`` runs exactly that many h-index rounds with no
+    convergence break (benchmark mode — every round joins the FULL edge
+    set, so per-round wall time is the E-scale superstep cost);
+    ``round_timings`` collects per-round wall times in-loop (the same
+    steady-state protocol as pagerank's iteration_timings)."""
+    import time as _time
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = graph.edges.select("src", "dst")
@@ -63,8 +74,10 @@ def core_number(
         .select("vertex", F.col("c").cast("long").alias("c")),
         eager=True,
     )
+    n_rounds = fixed_iterations if fixed_iterations is not None else max_iter
     with no_aqe(spark):
-        for _ in range(max_iter):
+        for _ in range(n_rounds):
+            t0 = _time.time()
             c_src = c.select(F.col("vertex").alias("src"), F.col("c").alias("c_u"))
             capped = (
                 edges.join(_state(c_src, "src"), on="src")
@@ -95,11 +108,14 @@ def core_number(
                 eager=False,  # single consumer: the changed-count below
             )
             n_chg = new_c.filter(F.col("chg")).count()
+            if round_timings is not None:
+                round_timings.append(_time.time() - t0)
             c = new_c.select("vertex", "c")
-            if n_chg == 0:
+            if fixed_iterations is None and n_chg == 0:
                 break
         else:
-            raise RuntimeError("core_number: max_iter exceeded")
+            if fixed_iterations is None:
+                raise RuntimeError("core_number: max_iter exceeded")
     edges.unpersist()
     out = c.select("vertex", F.col("c").alias("core_number"))
     if graph.renumbered:

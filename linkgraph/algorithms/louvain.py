@@ -68,6 +68,7 @@ def _local_moves(
     max_inner,
     nparts,
     init_labels=None,
+    round_timings=None,
 ):
     """One dendrogram level, fully distributed.
 
@@ -91,8 +92,11 @@ def _local_moves(
         else kv_df.select("vertex", F.col("vertex").alias("c")),
         eager=True,
     )
+    import time as _time
+
     prev_moved = None
     for inner in range(max_inner):
+        t0 = _time.time()
         # kvl: (vertex, c, k_v) — V rows, rebuilt per pass from materialized
         # inputs (cheap); consumed by the sigma branch and the candidate join.
         kvl = labels.join(_state(kv_df, "vertex"), on="vertex")
@@ -154,6 +158,8 @@ def _local_moves(
             eager=False,  # single consumer: the count below materializes it
         )
         n_moved = new_labels.filter(F.col("moved")).count()
+        if round_timings is not None:
+            round_timings.append(_time.time() - t0)
         labels = new_labels.select("vertex", "c")
         # stop after a full up+down cycle moved at most 1% of vertices —
         # synchronous passes trail off geometrically (deterministic rule,
@@ -170,6 +176,7 @@ def louvain(
     max_iter: int = 20,
     resolution: float = 1.0,
     max_levels: int = 10,
+    round_timings: list | None = None,
 ):
     """Returns (DF[vertex, partition], modularity: float).
 
@@ -213,7 +220,9 @@ def louvain(
             n_verts = kv_df.count()
             bcast = n_verts <= BROADCAST_STATE_MAX_V
             labels = _local_moves(
-                spark, level_edges, kv_df, n_verts, m2, resolution, max_iter, nparts
+                spark, level_edges, kv_df, n_verts, m2, resolution, max_iter,
+                nparts,
+                round_timings=round_timings if _level == 0 else None,
             )
             n_comm = labels.select("c").distinct().count()
             # flatten this level into the original-vertex assignment

@@ -46,11 +46,17 @@ def strongly_connected_components(
     max_rounds: int = 64,
     num_partitions: int | None = None,
     stats: dict | None = None,
+    round_timings: list | None = None,
 ) -> DataFrame:
     """Returns DF[vertex, labels]; label = min vertex id of the SCC
     (canonical, deterministic). ``stats`` (optional dict) receives
     ``{"rounds", "trim_rounds", "color_iters", "bfs_iters"}`` for tests and
-    tuning."""
+    tuning. ``round_timings`` collects per-iteration wall times of the
+    FIRST outer round's forward min-coloring loop — the E-scale superstep
+    (each iteration joins the full remaining edge set), the same
+    steady-state protocol as pagerank's iteration_timings; iteration count
+    is deterministic per input, hence identical across parallelism levels."""
+    import time as _time
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     n_v = graph.number_of_vertices()
@@ -123,6 +129,7 @@ def strongly_connected_components(
             )
             while True:
                 counters["color_iters"] += 1
+                t0 = _time.time()
                 upd = (
                     edges.join(
                         _state(
@@ -149,6 +156,8 @@ def strongly_connected_components(
                     eager=False,  # single consumer: the changed-count below
                 )
                 n_chg = new.filter(F.col("chg")).count()
+                if round_timings is not None and _round == 0:
+                    round_timings.append(_time.time() - t0)
                 color = new.select("vertex", "color")
                 if n_chg == 0:
                     break

@@ -1941,3 +1941,106 @@ def _neighbor_sample_oracle() -> str:
 
 ORACLES["neighbor_sample"] = _neighbor_sample_oracle()
 QUERIES["neighbor_sample"] = q_neighbor_sample
+
+
+# ---------------------------------------------------------------------------
+# host-graph contraction (page graph -> host graph, Common-Crawl coarsening)
+# ---------------------------------------------------------------------------
+
+HOST_DIV = 8  # supply vertices 0..399 -> 50 "hosts"
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Contract the supply graph by host = vertex DIV 8, then weighted
+    PageRank on the host graph (weight = collapsed page-link multiplicity,
+    self-links dropped) — the host-level ranking pass of a web-scale link
+    pipeline. One E-scale contraction, then the algorithm runs on the
+    tiny quotient graph."""
+    from .structure.contract import contract_vertices
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    amap = g.vertices().select(
+        "vertex", F.expr(f"vertex DIV {HOST_DIV}").alias("group")
+    )
+    cg = contract_vertices(g, amap, self_loops=False)
+    pr = pagerank(cg, alpha=ALPHA, fixed_iterations=PR_ITERS)
+    return pr.select(
+        F.col("vertex").alias("host"),
+        F.round(F.col("pagerank") * 1e7).cast("long").alias("pr_e7"),
+    )
+
+
+def _host_pagerank_oracle() -> str:
+    a, one_m_a = ALPHA, 1.0 - ALPHA
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        f"hedges AS MATERIALIZED (SELECT src // {HOST_DIV} AS src, "
+        f"dst // {HOST_DIV} AS dst, CAST(count(*) AS DOUBLE) AS w "
+        f"FROM edges WHERE src // {HOST_DIV} <> dst // {HOST_DIV} "
+        "GROUP BY 1, 2)",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM hedges))) AS v)",
+        "outw AS (SELECT src AS v, sum(w) AS ow FROM hedges GROUP BY src)",
+        "vt AS MATERIALIZED (SELECT u.v, coalesce(o.ow, 0.0) AS ow "
+        "FROM univ u LEFT JOIN outw o ON u.v = o.v)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM vt)",
+        "r0 AS MATERIALIZED (SELECT v, ow, 1.0/(SELECT n FROM nv) AS r FROM vt)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT b.v, b.ow, "
+            f"((SELECT sum(CASE WHEN ow <= 0 THEN r ELSE 0 END) FROM {p}) * {a} + {one_m_a})"
+            f" / (SELECT n FROM nv) + {a} * coalesce(m.s, 0.0) AS r "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, sum(p.r * e.w / p.ow) AS s "
+            f"FROM hedges e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS host, CAST(round(r * 1e7) AS BIGINT) AS pr_e7 FROM r{PR_ITERS}"
+    )
+
+
+ORACLES["host_pagerank"] = _host_pagerank_oracle()
+QUERIES["host_pagerank"] = q_host_pagerank
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 table A1 family)
+# ---------------------------------------------------------------------------
+
+def q_doc_gopher(spark, sf_dir):
+    """Integer-exact repetition signals per document — the Gopher/C4
+    repetition-filter family (top-word fraction, distinct-word ratio,
+    top-bigram fraction), floor-divided into e5 BIGINTs on both sides."""
+    from .text.analysis import repetition_metrics
+
+    return repetition_metrics(_documents(spark, sf_dir)).select(
+        "doc_id", "n_words", "top_word_e5", "distinct_e5", "top_bigram_e5"
+    )
+
+
+ORACLES["doc_gopher"] = """
+    WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words
+                  FROM documents),
+    words AS (SELECT doc_id, n_words, unnest(w) AS word FROM base),
+    wc AS (SELECT doc_id, n_words, word, count(*) AS c
+           FROM words GROUP BY doc_id, n_words, word),
+    topw AS (SELECT doc_id, n_words,
+                    (100000 * max(c)) // n_words AS top_word_e5,
+                    (100000 * count(*)) // n_words AS distinct_e5
+             FROM wc GROUP BY doc_id, n_words),
+    bgi AS (SELECT doc_id, n_words, w,
+                   unnest(generate_series(1, CAST(n_words AS INT) - 1)) AS i
+            FROM base WHERE n_words >= 2),
+    bgc AS (SELECT doc_id, n_words, w[i] || ' ' || w[i + 1] AS bg, count(*) AS c
+            FROM bgi GROUP BY doc_id, n_words, bg),
+    topbg AS (SELECT doc_id, (100000 * max(c)) // greatest(n_words - 1, 1)
+                      AS top_bigram_e5
+              FROM bgc GROUP BY doc_id, n_words)
+    SELECT t.doc_id, t.n_words, t.top_word_e5, t.distinct_e5,
+           CAST(coalesce(b.top_bigram_e5, 0) AS BIGINT) AS top_bigram_e5
+    FROM topw t LEFT JOIN topbg b ON t.doc_id = b.doc_id
+"""
+QUERIES["doc_gopher"] = q_doc_gopher

@@ -111,6 +111,82 @@ def word_shingles(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1; same family as the C4 filters):
+
+      n_words        — whitespace token count
+      top_word_e5    — 1e5 × (occurrences of the most frequent word / n_words)
+      distinct_e5    — 1e5 × (distinct words / n_words)
+      top_bigram_e5  — 1e5 × (occurrences of the most frequent word bigram
+                        / (n_words − 1)); 0 for single-word docs
+
+    Ratios are integer-exact ((1e5·cnt) DIV total — floor division on
+    BIGINTs, bit-identical in any engine, never a float boundary).
+    Plan: one explode + hash-agg per signal (map-side combined), joined
+    back on the id — no windows over unbounded keys, no UDFs; the bigram
+    explode is arrays_zip over two slices of the same split, so the text
+    is tokenized once per branch and never leaves the JVM.
+    """
+    w = F.split(F.trim(F.col(text_col)), " ")
+    base = df.select(id_col, w.alias("w")).select(
+        id_col, "w", F.size("w").cast("long").alias("n_words")
+    )
+    top_word = (
+        base.select(id_col, "n_words", F.explode("w").alias("word"))
+        .groupBy(id_col, "n_words", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_words")
+        .agg(F.max("c").alias("top_c"))
+        .select(
+            id_col,
+            "n_words",
+            F.expr("CAST(100000 * top_c AS BIGINT) DIV n_words").alias("top_word_e5"),
+        )
+    )
+    distinct_ratio = (
+        base.select(id_col, "n_words", F.explode("w").alias("word"))
+        .groupBy(id_col, "n_words")
+        .agg(F.count_distinct("word").alias("d"))
+        .select(
+            id_col,
+            "n_words",
+            F.expr("CAST(100000 * d AS BIGINT) DIV n_words").alias("distinct_e5"),
+        )
+    )
+    bg_arr = F.zip_with(
+        F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
+        F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bigrams = base.select(id_col, "n_words", F.explode(bg_arr).alias("bg"))
+    top_bigram = (
+        bigrams.groupBy(id_col, "n_words", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_words")
+        .agg(F.max("c").alias("top_c"))
+        .select(
+            id_col,
+            F.expr(
+                "CAST(100000 * top_c AS BIGINT) DIV greatest(n_words - 1, 1)"
+            ).alias("top_bigram_e5"),
+        )
+    )
+    return (
+        top_word.join(distinct_ratio.drop("n_words"), on=id_col)
+        .join(top_bigram, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_words",
+            "top_word_e5",
+            "distinct_e5",
+            F.coalesce("top_bigram_e5", F.lit(0)).cast("long").alias("top_bigram_e5"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
