@@ -98,7 +98,13 @@ def main() -> None:
                 g_rmat, fixed_iterations=RMAT_ITERS + 3, iteration_timings=ts
             ).count(),
         )
-        for name in ("doc_shingle_dups", "emb_topk", "events_hourly"):
+        for name in (
+            "doc_shingle_dups",
+            "emb_topk",
+            "events_hourly",
+            "doc_gopher",
+            "host_pagerank",
+        ):
             timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
         return timings, ts
 
