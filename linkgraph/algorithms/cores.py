@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans import truncate_plan
+from ..plans import release_plan, truncate_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
@@ -75,6 +75,7 @@ def core_number(
         eager=True,
     )
     n_rounds = fixed_iterations if fixed_iterations is not None else max_iter
+    c_ck = c  # checkpointed frame backing `c`, freed once superseded
     with no_aqe(spark):
         for _ in range(n_rounds):
             t0 = _time.time()
@@ -108,6 +109,8 @@ def core_number(
                 eager=False,  # single consumer: the changed-count below
             )
             n_chg = new_c.filter(F.col("chg")).count()
+            release_plan(c_ck)  # new_c materialized by the count
+            c_ck = new_c
             if round_timings is not None:
                 round_timings.append(_time.time() - t0)
             c = new_c.select("vertex", "c")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans import truncate_plan
+from ..plans import release_plan, truncate_plan
 from ..structure.graph import Graph
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
@@ -74,6 +74,7 @@ def hits(
             F.lit(1.0 / V).alias("a"),
         )
     state = truncate_plan(init, eager=False)
+    state_ck = state  # superseded state checkpoint, freed once replaced
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     with no_aqe(spark):
         for _ in range(n_iter):
@@ -90,6 +91,7 @@ def hits(
                 eager=False,  # single consumer: the norm aggregate below
             )
             a_sum = float(s1.agg(F.sum("a_raw")).collect()[0][0] or 1.0)
+            release_plan(state_ck)  # s1 (materialized) carries all state cols
 
             # --- hub half-step: one E-job on the dst-partitioned copy;
             # authority normalization folded in as a literal
@@ -132,6 +134,8 @@ def hits(
                 .collect()[0]
             )
             h_sum = float(row["hs"] or 1.0)
+            release_plan(s1)  # s2 materialized by the fused norm+delta agg
+            state_ck = s2
             state = s2.select(
                 "vertex",
                 (F.col("h_raw") / F.lit(h_sum)).alias("h"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import release_plan
 from ..structure.graph import Graph
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
@@ -70,6 +71,7 @@ def katz_centrality(
             "vertex", F.coalesce("c0", F.lit(0.0)).cast("double").alias("c")
         )
     state = state.localCheckpoint(eager=False)
+    prev_ck = state  # superseded superstep checkpoint, freed once replaced
     converged = fixed_iterations is not None
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     with no_aqe(spark):
@@ -96,6 +98,8 @@ def katz_centrality(
                 .localCheckpoint(eager=False)
             )
             delta = new.agg(F.sum(F.abs(F.col("c") - F.col("c_old")))).collect()[0][0]
+            release_plan(prev_ck)  # `new` materialized by the delta agg
+            prev_ck = new
             state = new.select("vertex", "c")
             if fixed_iterations is None and delta < tol:
                 converged = True

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..plans import release_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import no_aqe
@@ -61,6 +62,7 @@ def ktruss_subgraph(graph: Graph, k: int, max_iter: int = 100) -> Graph:
                 .localCheckpoint(eager=True)  # referenced 4x next round
             )
             n_before, n_after = e.count(), kept.count()
+            release_plan(e)  # kept is eager-materialized; old edge set free
             e = kept
             if n_after == n_before or n_after == 0:
                 break

@@ -52,7 +52,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..structure.graph import Graph
 from .clustering_metrics import analyze_clustering_modularity
-from ..plans import truncate_plan
+from ..plans import release_plan, truncate_plan
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 _EPS = 1e-12
@@ -95,6 +95,7 @@ def _local_moves(
     import time as _time
 
     prev_moved = None
+    labels_ck = labels  # checkpointed frame backing `labels`, for release
     for inner in range(max_inner):
         t0 = _time.time()
         # kvl: (vertex, c, k_v) — V rows, rebuilt per pass from materialized
@@ -158,6 +159,13 @@ def _local_moves(
             eager=False,  # single consumer: the count below materializes it
         )
         n_moved = new_labels.filter(F.col("moved")).count()
+        # new_labels is materialized by the count: this pass's E-scale
+        # `cur` checkpoint and the superseded labels state can be freed NOW
+        # — left to the ContextCleaner they accumulate ~E rows/pass in the
+        # block manager and move passes degrade 3-4x by pass 8 (RMAT-21).
+        release_plan(cur)
+        release_plan(labels_ck)
+        labels_ck = new_labels
         if round_timings is not None:
             round_timings.append(_time.time() - t0)
         labels = new_labels.select("vertex", "c")

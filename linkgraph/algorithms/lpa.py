@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager
+from ..plans import release_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
@@ -68,6 +69,7 @@ def label_propagation(
         )
 
     bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
+    prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     with no_aqe(spark):
@@ -100,6 +102,8 @@ def label_propagation(
                 .localCheckpoint(eager=False)  # truncate superstep lineage
             )
             n_changed = new.filter(F.col("changed")).count()
+            release_plan(prev_ck)  # `new` materialized by the count
+            prev_ck = new
             labels = new.select("vertex", "labels")
             if ckpt is not None and it % checkpoint_every == 0:
                 labels = ckpt.save(labels, it, {"changed": n_changed})

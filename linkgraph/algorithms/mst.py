@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans import release_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import no_aqe
@@ -87,11 +88,13 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
             new_edges = pick.select(
                 F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
             ).distinct()
+            old_chosen = chosen
             chosen = (
                 new_edges
                 if chosen is None
                 else chosen.unionByName(new_edges).distinct()
             ).localCheckpoint(eager=True)
+            release_plan(old_chosen)  # folded into the new eager union
             # merge components: min-label propagation over picked comp pairs
             merge = pick.select(
                 F.col("c_src").alias("a"), F.col("c_dst").alias("b")
@@ -102,6 +105,7 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
             labels = comp.select(F.col("c").alias("a")).distinct().select(
                 "a", F.col("a").alias("l")
             ).localCheckpoint(eager=True)
+            labels_ck = labels
             while True:
                 msgs = (
                     merge.join(labels.select(F.col("a"), F.col("l")), on="a")
@@ -119,14 +123,22 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> DataFrame:
                     .localCheckpoint(eager=True)
                 )
                 changed = new_l.filter(F.col("ch")).count()
+                release_plan(labels_ck)  # new_l materialized by the count
+                labels_ck = new_l
                 labels = new_l.select("a", "l")
                 if changed == 0:
                     break
+            old_comp = comp
             comp = (
                 comp.join(labels.withColumnRenamed("a", "c"), on="c")
                 .select("vertex", F.col("l").alias("c"))
                 .localCheckpoint(eager=True)
             )
+            # round-locals folded into the new eager comp / chosen states
+            release_plan(old_comp)
+            release_plan(labels_ck)
+            release_plan(pick)
+            release_plan(merge)
     if chosen is None:
         chosen = edges.select("src", "dst", "weight").limit(0)
     out = chosen

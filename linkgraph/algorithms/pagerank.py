@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager
+from ..plans import release_plan
 from ..structure.graph import Graph
 
 
@@ -243,6 +244,12 @@ def pagerank(
                 ),
             ).collect()[0]
             delta, dangling_sum = float(stats["delta"]), float(stats["dang"] or 0.0)
+            # `new` is materialized by the stats action; the superseded rank
+            # state can be freed immediately (left to the ContextCleaner,
+            # V-scale checkpoints accumulate one per superstep — see
+            # plans.release_plan). The checkpoint-resume path is safe: saved
+            # snapshots re-read from parquet, independent of this storage.
+            release_plan(ranks)
             ranks = new
             if iteration_timings is not None:
                 iteration_timings.append(_time.time() - _t0)

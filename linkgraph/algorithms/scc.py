@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans import truncate_plan
+from ..plans import release_plan, truncate_plan
 from ..structure.graph import Graph
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
@@ -105,6 +105,7 @@ def strongly_connected_components(
                 assigned = _add(
                     assigned, trimmed.select("vertex", F.col("vertex").alias("labels"))
                 )
+                old_active, old_edges = active, edges
                 active = truncate_plan(
                     active.join(_state(trimmed, "vertex"), on="vertex", how="left_anti"),
                     eager=True,
@@ -121,12 +122,18 @@ def strongly_connected_components(
                     ),
                     eager=True,
                 )
+                # both replacements are eager-materialized; the superseded
+                # E/V-scale checkpoints can be freed now (trimmed stays:
+                # the lazy `assigned` chain reads its checkpoint at the end)
+                release_plan(old_active)
+                release_plan(old_edges)
             if active.count() == 0:
                 break
             # --- forward min-coloring to fixpoint ---
             color = truncate_plan(
                 active.select("vertex", F.col("vertex").alias("color")), eager=True
             )
+            color_ck = color
             while True:
                 counters["color_iters"] += 1
                 t0 = _time.time()
@@ -156,12 +163,15 @@ def strongly_connected_components(
                     eager=False,  # single consumer: the changed-count below
                 )
                 n_chg = new.filter(F.col("chg")).count()
+                release_plan(color_ck)  # `new` materialized by the count
+                color_ck = new
                 if round_timings is not None and _round == 0:
                     round_timings.append(_time.time() - t0)
                 color = new.select("vertex", "color")
                 if n_chg == 0:
                     break
             color = truncate_plan(color, eager=True)  # multi-branch consumer
+            release_plan(color_ck)  # folded into the eager re-checkpoint
             # --- backward multi-BFS from all roots within color classes ---
             ec = (
                 edges.join(
@@ -202,12 +212,18 @@ def strongly_connected_components(
                 )
                 if preds.count() == 0:
                     break
+                old_member = member
                 member = truncate_plan(member.unionByName(preds), eager=True)
+                # old member (== the first frontier on iteration 1) is folded
+                # into the new eager union; preds is already materialized by
+                # its count, so nothing recomputes through the old frame
+                release_plan(old_member)
                 frontier = preds
             scc = member.join(_state(color, "vertex"), on="vertex").select(
                 "vertex", F.col("color").alias("labels")
             )
             assigned = _add(assigned, scc)
+            old_active, old_edges = active, edges
             active = truncate_plan(
                 active.join(_state(member, "vertex"), on="vertex", how="left_anti"),
                 eager=True,
@@ -224,6 +240,11 @@ def strongly_connected_components(
                 ),
                 eager=True,
             )
+            release_plan(old_active)
+            release_plan(old_edges)
+            # ec is round-local (the lazy `assigned` chain reads member and
+            # color, never ec); member/color stay until the final select
+            release_plan(ec)
         else:
             raise RuntimeError("scc: max_rounds exceeded")
     if stats is not None:

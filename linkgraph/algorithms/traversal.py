@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans import release_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
@@ -70,6 +71,9 @@ def bfs(
     ).localCheckpoint(eager=False)
     frontier = visited.select("vertex", "sp_counter")
     depth = 0
+    # two-generation free list: level d's count materializes visited_{d-1}
+    # (read via v_keys) and nxt_d, which releases visited_{d-2} and nxt_{d-1}
+    pend_visited, pend_nxt = None, None
     with no_aqe(spark):
         while depth_limit is None or depth < depth_limit:
             depth += 1
@@ -95,8 +99,12 @@ def bfs(
             )
             nxt = nxt.localCheckpoint(eager=False)
             n_new = nxt.count()
+            release_plan(pend_visited)
+            release_plan(pend_nxt)
+            pend_nxt = nxt
             if n_new == 0:
                 break
+            pend_visited = visited
             visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt.select("vertex", "sp_counter")
     cols = ["vertex", "distance", "predecessor"] + (
@@ -138,6 +146,7 @@ def sssp(
         [(s, 0.0, -1)], "vertex LONG, distance DOUBLE, predecessor LONG"
     ).localCheckpoint(eager=False)
     frontier = dist
+    prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = 0
     with no_aqe(spark):
         while it < max_iter:
@@ -189,6 +198,8 @@ def sssp(
                 .localCheckpoint(eager=False)
             )
             n_changed = merged.filter(F.col("changed")).count()
+            release_plan(prev_ck)  # `merged` materialized by the count
+            prev_ck = merged
             dist = merged.select("vertex", "distance", "predecessor")
             frontier = merged.filter(F.col("changed")).select(
                 "vertex", "distance", "predecessor"

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager
+from ..plans import release_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
@@ -81,6 +82,7 @@ def weakly_connected_components(
     # frontier = vertices whose label changed last round (all, initially)
     bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
     frontier = labels
+    prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     with no_aqe(spark):
@@ -108,6 +110,8 @@ def weakly_connected_components(
                 .localCheckpoint(eager=False)  # truncate superstep lineage
             )
             n_changed = new.filter(F.col("changed")).count()
+            release_plan(prev_ck)  # `new` materialized by the count
+            prev_ck = new
             labels = new.select("vertex", "labels")
             frontier = new.filter(F.col("changed")).select("vertex", "labels")
             if ckpt is not None and it % checkpoint_every == 0:

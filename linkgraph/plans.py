@@ -32,6 +32,15 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
     unaffected either way.
     """
     ck = df.localCheckpoint(eager=eager)
+    handle = None
+    try:
+        # the RDD localCheckpoint actually persisted — LogicalRDD's field,
+        # NOT queryExecution().toRdd() (that is a metrics wrapper whose
+        # unpersist would be a no-op). Kept on the returned frame so
+        # release_plan can free the block-manager storage deterministically.
+        handle = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        pass
     try:
         spark = ck.sparkSession
         jdf = ck._jdf
@@ -39,6 +48,34 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jrdd, jdf.schema(), False
         )
-        return DataFrame(new_jdf, spark)
+        out = DataFrame(new_jdf, spark)
     except Exception:
-        return ck
+        out = ck
+    out._lg_ck_rdd = handle
+    return out
+
+
+def release_plan(df: DataFrame | None) -> None:
+    """Free the block-manager storage of a ``truncate_plan`` frame ONCE IT
+    IS SUPERSEDED. ``localCheckpoint`` truncates lineage, so a released
+    frame must never be computed again — callers release only frames whose
+    successor state is already materialized. The ContextCleaner does this
+    eventually (when driver GC collects the plan), but hot iterative loops
+    can't wait: measured at RMAT-21 local[16], Louvain move passes degrade
+    47 → 200 s/round as each pass's eager E-scale checkpoint (~2.7 GB)
+    accumulates in the block manager; with explicit release the per-pass
+    cost stays flat. Safe no-op for frames not from ``truncate_plan``."""
+    jrdd = getattr(df, "_lg_ck_rdd", None)
+    if jrdd is None and df is not None:
+        # plain ``df.localCheckpoint(...)`` frame: the persisted RDD is the
+        # LogicalRDD's field. Any other plan shape raises and we no-op.
+        try:
+            jrdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+        df._lg_ck_rdd = None
