@@ -78,6 +78,7 @@ from .structure.graph import (
 )
 from .structure.bicliques import find_bicliques
 from .structure.contract import contract_vertices, host_edges, host_of
+from .structure.delta import apply_edge_delta
 from .structure.graph_classes import (
     BiPartiteDiGraph,
     BiPartiteGraph,
@@ -171,6 +172,7 @@ __all__ = [
     "NumberMap",
     "PageRankConvergenceError",
     "batched_ego_graphs",
+    "apply_edge_delta",
     "contract_vertices",
     "host_edges",
     "host_of",

@@ -57,6 +57,15 @@ from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
 
 _EPS = 1e-12
 
+# Gate for broadcasting the per-community weight table (sigma: C rows of
+# (c, sig)) into the E-scale candidate join. This is a DIFFERENT tradeoff
+# from BROADCAST_STATE_MAX_V (measured crossover 150k): there the
+# alternative is an exchange-free co-partitioned join (broadcast saves
+# nothing), here the alternative is a full E-scale re-exchange of the
+# candidate table on c_nbr — at E/C ratios of 15-30x the broadcast wins
+# far past the state-table crossover.
+SIGMA_BCAST_MAX_C = 4_000_000
+
 
 def _local_moves(
     spark,
@@ -96,15 +105,25 @@ def _local_moves(
 
     prev_moved = None
     labels_ck = labels  # checkpointed frame backing `labels`, for release
+    n_comms = n_verts  # exact count refreshed by each pass's stats action
     for inner in range(max_inner):
         t0 = _time.time()
-        # kvl: (vertex, c, k_v) — V rows, rebuilt per pass from materialized
-        # inputs (cheap); consumed by the sigma branch and the candidate join.
+        # kvl: (vertex, c, k_v, sig_cur) — V rows, rebuilt per pass from
+        # materialized inputs. sigma (the per-community weight) is attached
+        # HERE, at V scale, not to the E-scale candidate table: joining it
+        # onto cand would re-exchange ~E rows on c where this costs one
+        # V-row join (see the measured pass-time comparison at
+        # SIGMA_BCAST_MAX_C).
         kvl = labels.join(_state(kv_df, "vertex"), on="vertex")
         sigma = kvl.groupBy("c").agg(F.sum("k_v").alias("sig"))
+        kvl = kvl.join(
+            _state(sigma.select("c", F.col("sig").alias("sig_cur")), "c"), on="c"
+        )
         # k_{v,c}: E-row join + map-side-combined hash agg, then attach the
-        # vertex's own (c, k_v). EAGER checkpoint: `cur` feeds both the
-        # k_in branch and the candidate branch of the same downstream job.
+        # vertex's own (c, k_v, sig_cur). EAGER checkpoint: `cur` feeds both
+        # the k_in branch and the candidate branch of the same downstream
+        # job, and every downstream op (k_in join, argmax, label join)
+        # reuses its vertex partitioning exchange-free.
         lab_src = _state(
             labels.select(F.col("vertex").alias("src"), F.col("c").alias("c_nbr")),
             "src",
@@ -124,15 +143,22 @@ def _local_moves(
             if inner % 2 == 0
             else (F.col("c_nbr") < F.col("c"))
         )
+        # sig_new lookup: C rows joined into the E-scale candidate set.
+        # Broadcast while C fits (see SIGMA_BCAST_MAX_C note) so cand never
+        # leaves its vertex partitioning; shuffle fallback beyond the gate.
+        sig_new = sigma.select(
+            F.col("c").alias("c_nbr"), F.col("sig").alias("sig_new")
+        )
+        sig_new = (
+            F.broadcast(sig_new)
+            if n_comms <= SIGMA_BCAST_MAX_C
+            else _state(sig_new, "c_nbr")
+        )
         cand = (
             cur.filter(F.col("c_nbr") != F.col("c"))
             .filter(gate)
             .join(_state(k_in_tab, "vertex"), on="vertex", how="left")
-            .join(
-                _state(sigma.select(F.col("c").alias("c_nbr"), F.col("sig").alias("sig_new")), "c_nbr"),
-                on="c_nbr",
-            )
-            .join(_state(sigma.select("c", F.col("sig").alias("sig_cur")), "c"), on="c")
+            .join(sig_new, on="c_nbr")
             .withColumn(
                 "g",
                 F.col("k_vc")
@@ -158,7 +184,14 @@ def _local_moves(
             ),
             eager=False,  # single consumer: the count below materializes it
         )
-        n_moved = new_labels.filter(F.col("moved")).count()
+        # single action per pass: materializes the lazy checkpoint AND
+        # returns (move count, live community count — the sig_new broadcast
+        # gate for the next pass) in one job.
+        stats = new_labels.agg(
+            F.count(F.when(F.col("moved"), F.lit(1))).alias("nm"),
+            F.countDistinct("c").alias("nc"),
+        ).first()
+        n_moved, n_comms = stats["nm"], stats["nc"]
         # new_labels is materialized by the count: this pass's E-scale
         # `cur` checkpoint and the superseded labels state can be freed NOW
         # — left to the ContextCleaner they accumulate ~E rows/pass in the

@@ -2044,3 +2044,114 @@ ORACLES["doc_gopher"] = """
     FROM topw t LEFT JOIN topbg b ON t.doc_id = b.doc_id
 """
 QUERIES["doc_gopher"] = q_doc_gopher
+
+# ---------------------------------------------------------------------------
+# incremental recrawl-delta ranking (structure/delta.py)
+# ---------------------------------------------------------------------------
+
+INCR_ITERS = 6
+# removals: a deterministic ~20% slice of the base supply edges;
+# additions: order -> NEW review-host vertices 400..449 (grows the universe)
+DELTA_REMOVE_SQL = "(src + 3 * dst) % 5 = 0"
+DELTA_ADD_SQL = (
+    "SELECT DISTINCT l_orderkey % 400 AS src, 400 + (l_suppkey % 50) AS dst "
+    "FROM lineitem"
+)
+
+
+def q_incr_pagerank(spark, sf_dir):
+    """Recrawl-delta ranking: full PageRank on the base supply graph, then
+    a signed edge delta (~20% removals + additions that introduce 50 NEW
+    vertices) applied via ``apply_edge_delta`` — ONE union+hash-agg pass,
+    no rebuild — and a warm restart (``nstart`` = previous scores) for
+    INCR_ITERS < PR_ITERS supersteps. The delta-then-warm-restart shape is
+    the 100-TB recrawl plan: the expensive converged state is reused, not
+    recomputed."""
+    from .structure.delta import apply_edge_delta
+
+    base = Graph.from_edgelist(
+        supply_edges(spark, sf_dir), directed=True, renumber=False
+    )
+    pr0 = pagerank(base, alpha=ALPHA, fixed_iterations=PR_ITERS)
+    li = _lineitem(spark, sf_dir)
+    removals = (
+        supply_edges(spark, sf_dir)
+        .filter((F.col("src") + 3 * F.col("dst")) % 5 == 0)
+        .select("src", "dst", F.lit(-1.0).alias("dw"))
+    )
+    additions = (
+        li.select(
+            (F.col("l_orderkey") % 400).alias("src"),
+            (F.lit(400) + F.col("l_suppkey") % 50).alias("dst"),
+        )
+        .distinct()
+        .select("src", "dst", F.lit(1.0).alias("dw"))
+    )
+    g2 = apply_edge_delta(base, removals.unionByName(additions), weight="dw")
+    pr1 = pagerank(
+        g2,
+        alpha=ALPHA,
+        nstart=pr0.select("vertex", F.col("pagerank").alias("values")),
+        fixed_iterations=INCR_ITERS,
+    )
+    return pr1.select(
+        "vertex", F.round(F.col("pagerank") * 1e7).cast("long").alias("pr_e7")
+    )
+
+
+def _incr_pagerank_oracle() -> str:
+    a, one_m_a = ALPHA, 1.0 - ALPHA
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "outdeg AS (SELECT src AS v, count(*) AS od FROM edges GROUP BY src)",
+        "vt AS MATERIALIZED (SELECT u.v, coalesce(o.od, 0) AS od "
+        "FROM univ u LEFT JOIN outdeg o ON u.v = o.v)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM vt)",
+        "r0 AS MATERIALIZED (SELECT v, od, 1.0/(SELECT n FROM nv) AS r FROM vt)",
+    ]
+    # phase 1: cold PageRank on the base graph (engine-identical arithmetic)
+    for k in range(1, PR_ITERS + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT b.v, b.od, "
+            f"((SELECT sum(CASE WHEN od = 0 THEN r ELSE 0 END) FROM {p}) * {a} + {one_m_a})"
+            f" / (SELECT n FROM nv) + {a} * coalesce(m.s, 0.0) AS r "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, sum(p.r / p.od) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+    # the delta-applied graph + warm-start state s0 (nstart normalized by its
+    # sum over the NEW universe, missing vertices = 0 — pagerank.py nstart)
+    parts += [
+        f"edges2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE NOT ({DELTA_REMOVE_SQL}) UNION {DELTA_ADD_SQL})",
+        "univ2 AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges2))) AS v)",
+        "outdeg2 AS (SELECT src AS v, count(*) AS od FROM edges2 GROUP BY src)",
+        "vt2 AS MATERIALIZED (SELECT u.v, coalesce(o.od, 0) AS od "
+        "FROM univ2 u LEFT JOIN outdeg2 o ON u.v = o.v)",
+        "nv2 AS MATERIALIZED (SELECT count(*) AS n FROM vt2)",
+        f"nsum AS MATERIALIZED (SELECT sum(r) AS s FROM r{PR_ITERS})",
+        f"s0 AS MATERIALIZED (SELECT t.v, t.od, "
+        f"coalesce(p.r, 0.0) / (SELECT s FROM nsum) AS r "
+        f"FROM vt2 t LEFT JOIN r{PR_ITERS} p ON t.v = p.v)",
+    ]
+    # phase 2: warm-restart supersteps on the delta-applied graph
+    for k in range(1, INCR_ITERS + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT b.v, b.od, "
+            f"((SELECT sum(CASE WHEN od = 0 THEN r ELSE 0 END) FROM {p}) * {a} + {one_m_a})"
+            f" / (SELECT n FROM nv2) + {a} * coalesce(m.s, 0.0) AS r "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, sum(p.r / p.od) AS s "
+            f"FROM edges2 e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(r * 1e7) AS BIGINT) AS pr_e7 FROM s{INCR_ITERS}"
+    )
+
+
+ORACLES["incr_pagerank"] = _incr_pagerank_oracle()
+QUERIES["incr_pagerank"] = q_incr_pagerank
