@@ -24,7 +24,11 @@ from .structure.hypergraph import hypergraph
 from .structure.renumber import NumberMap, build_number_map, renumber_edges
 from .structure.symmetrize import symmetrize_edges, upper_triangle
 from .algorithms.pagerank import PageRankConvergenceError, pagerank
-from .algorithms.wcc import connected_components, weakly_connected_components
+from .algorithms.wcc import (
+    connected_components,
+    incremental_wcc,
+    weakly_connected_components,
+)
 from .algorithms.lpa import label_propagation
 from .algorithms.triangles import triangle_count
 from .algorithms.traversal import (
@@ -188,6 +192,7 @@ __all__ = [
     "bpe_ish_token_count",
     "build_number_map",
     "connected_components",
+    "incremental_wcc",
     "core_number",
     "audio_features",
     "cosine_topk",

@@ -43,6 +43,7 @@ def weakly_connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     fixed_iterations: int | None = None,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns DF[vertex, labels] — label = min INTERNAL vertex id in the
     component (canonical). Column name `labels` matches the reference output
@@ -53,7 +54,24 @@ def weakly_connected_components(
     component KEYS, not vertex references, exactly like the reference's
     arbitrary kernel labels (algorithms.hpp:1381-1383; its python layer also
     unrenumbers only the vertex column). Rows with equal `labels` are in the
-    same component; compare labels for equality only."""
+    same component; compare labels for equality only.
+
+    ``init_labels`` (DF[vertex, labels], same column spaces as the OUTPUT —
+    external vertex ids on a renumbered graph, internal label keys) warm-
+    starts the propagation, e.g. from a previous run's result after an
+    ADDITIONS-ONLY ``apply_edge_delta``: additions can only merge
+    components and each old label is the min member id of a subset of its
+    new component, so the fixpoint is the identical canonical labeling and
+    every component the delta did not touch is stable from round 1 (the
+    shrinking-frontier optimization then confines all work to the merged
+    regions). The new minimum still travels edge-by-edge inside an absorbed
+    component, so the ROUND count stays O(diameter of the merged regions) —
+    for quotient-diameter round counts use :func:`incremental_wcc`, which
+    runs the propagation on the delta-sized label quotient instead.
+    Vertices absent from ``init_labels`` (e.g. delta-new) start at their
+    own id. NOT valid after edge REMOVALS — a removal can split a
+    component, leaving stale labels min-propagation cannot raise; rerun
+    cold instead."""
     spark = graph.edges.sparkSession
     nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
     edges = graph.edges.select("src", "dst")
@@ -74,6 +92,22 @@ def weakly_connected_components(
             labels = ldf.repartition(nparts, "vertex").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+    if labels is None and init_labels is not None:
+        init = init_labels.select(
+            F.col("vertex").alias("__iv__"), F.col("labels").alias("__il__")
+        )
+        if graph.renumbered:
+            init = graph.nmap.add_internal_vertex_id(init, "__iv__", "vertex")
+        else:
+            init = init.withColumnRenamed("__iv__", "vertex")
+        labels = (
+            verts.join(init, on="vertex", how="left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("__il__"), F.col("vertex")).alias("labels"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     if labels is None:
         labels = verts.select(
             "vertex", F.col("vertex").alias("labels")
@@ -122,6 +156,91 @@ def weakly_connected_components(
     if graph.renumbered:
         # vertex -> external; labels stay internal component keys (see
         # docstring label-space contract)
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def incremental_wcc(
+    graph: Graph,
+    old_labels: DataFrame,
+    added_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """WCC of a delta-applied graph from the previous labeling, in work
+    proportional to the DELTA, not the graph.
+
+    ``graph`` is the post-delta graph (e.g. ``apply_edge_delta`` output),
+    ``old_labels`` the previous :func:`weakly_connected_components` result
+    on the pre-delta graph, ``added_edges`` the ADDITIONS (no removals —
+    additions only merge components; a removal can split one, which needs a
+    cold rerun).
+
+    Plan shape (the 100-TB recrawl path): label the two endpoints of every
+    added edge with their old component labels (two delta-scale joins
+    against the V-row label table), contract to the LABEL QUOTIENT graph —
+    at most one vertex per touched component — run the ordinary WCC
+    superstep loop on that delta-sized graph (renumbered, so its universe
+    is the touched labels, not [0, max_label)), and apply the resulting
+    old-label → merged-canonical-label remap back with one V-row join.
+    Total: O(|delta|) superstep work + two V-row hash joins. The edge table
+    is never shuffled; it is not read at all on renumbered graphs, and on
+    non-renumbered graphs only by the single column-pruned max-id scan that
+    defines the [0, max+1) vertex universe. Output contract identical to
+    :func:`weakly_connected_components` (canonical min-member labels) —
+    equality with a cold rerun on the updated graph is the test oracle.
+    """
+    d = added_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ol = old_labels.select("vertex", "labels")
+    if graph.renumbered:
+        # old internal ids are stable under apply_edge_delta's map
+        # extension, so the old labels remain valid internal keys
+        d = graph.nmap.add_internal_vertex_id(
+            d.withColumnRenamed("src", "__s__"), "__s__", "src"
+        )
+        d = graph.nmap.add_internal_vertex_id(
+            d.withColumnRenamed("dst", "__d__"), "__d__", "dst"
+        )
+        ol = graph.nmap.add_internal_vertex_id(
+            ol.withColumnRenamed("vertex", "__v__"), "__v__", "vertex"
+        )
+    # endpoint -> old label; endpoints the old labeling never saw (new
+    # vertices) are their own singleton component
+    for col, lab in (("src", "ls"), ("dst", "ld")):
+        m = ol.select(F.col("vertex").alias(col), F.col("labels").alias(lab))
+        d = d.join(m, on=col, how="left").withColumn(
+            lab, F.coalesce(F.col(lab), F.col(col))
+        )
+    q_edges = (
+        d.select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    base = (
+        graph.vertices()
+        .join(ol.select("vertex", "labels"), on="vertex", how="left")
+        .select("vertex", F.coalesce(F.col("labels"), F.col("vertex")).alias("l"))
+    )
+    if q_edges.limit(1).count() == 0:
+        out = base.select("vertex", F.col("l").alias("labels"))
+    else:
+        # renumber=True: the quotient universe is exactly the touched
+        # labels (delta-scale), NOT [0, max_label) — the superstep loop
+        # below runs on delta-sized tables
+        qg = Graph.from_edgelist(q_edges, directed=False, renumber=True)
+        qcc = weakly_connected_components(qg, num_partitions=num_partitions)
+        canon = qcc.groupBy("labels").agg(F.min("vertex").alias("canon"))
+        remap = qcc.join(canon, on="labels").select(
+            F.col("vertex").alias("l"), "canon"
+        )
+        n_remap = remap.count()
+        if n_remap <= BROADCAST_STATE_MAX_V:
+            remap = F.broadcast(remap)
+        out = base.join(remap, on="l", how="left").select(
+            "vertex", F.coalesce(F.col("canon"), F.col("l")).alias("labels")
+        )
+    if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
     return out
 

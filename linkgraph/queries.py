@@ -2155,3 +2155,71 @@ def _incr_pagerank_oracle() -> str:
 
 ORACLES["incr_pagerank"] = _incr_pagerank_oracle()
 QUERIES["incr_pagerank"] = q_incr_pagerank
+
+
+# ---------------------------------------------------------------------------
+# incremental WCC after an additions-only recrawl delta
+# ---------------------------------------------------------------------------
+
+WCC_ADD_SQL = (
+    "SELECT DISTINCT l_orderkey % 1000 AS src, 2000 + (l_suppkey % 37) AS dst "
+    "FROM lineitem"
+)
+
+
+def q_incr_wcc(spark, sf_dir):
+    """Incremental connectivity: WCC on the base link graph, an
+    additions-only delta (37 new hub vertices each linking many order
+    vertices — merges components), then ``incremental_wcc``: the delta is
+    contracted to the label-quotient graph (≤ one vertex per touched
+    component), the superstep loop runs on THAT delta-sized graph, and one
+    V-row remap join produces the new labeling — the edge table is never
+    shuffled again. The oracle recomputes WCC of the updated graph COLD
+    (unique canonical fixpoint), so any quotient/remap error diverges."""
+    from .algorithms.wcc import incremental_wcc
+    from .structure.delta import apply_edge_delta
+
+    base = Graph.from_edgelist(
+        link_edges(spark, sf_dir), directed=False, renumber=False
+    )
+    labels0 = weakly_connected_components(base)
+    li = _lineitem(spark, sf_dir)
+    adds = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.lit(2000) + F.col("l_suppkey") % 37).alias("dst"),
+    ).distinct()
+    g2 = apply_edge_delta(base, adds)  # additions only, +1 presence each
+    return incremental_wcc(g2, labels0, adds).select("vertex", "labels")
+
+
+def _incr_wcc_oracle() -> str:
+    K = WCC_ORACLE_ROUNDS
+    parts = [
+        f"WITH base AS MATERIALIZED ({LINK_EDGES_SQL})",
+        f"edges AS MATERIALIZED (SELECT src, dst FROM base UNION {WCC_ADD_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "l0 AS MATERIALIZED (SELECT v, v AS l FROM univ)",
+    ]
+    for k in range(1, K + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT b.v, least(b.l, coalesce(m.ml, b.l)) AS l "
+            f"FROM {p} b LEFT JOIN (SELECT s.dst AS v, min(p.l) AS ml "
+            f"FROM sym s JOIN {p} p ON s.src = p.v GROUP BY s.dst) m ON b.v = m.v)"
+        )
+    # loud fixpoint guard (ADVICE r2 style): if the last unrolled round still
+    # changed a label, fail the oracle instead of comparing truncated output
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CASE WHEN (SELECT count(*) FROM l{K} a "
+        f"JOIN l{K-1} b ON a.v = b.v AND a.l <> b.l) > 0 "
+        f"THEN CAST(error('incr_wcc oracle truncated: raise WCC_ORACLE_ROUNDS') AS BIGINT) "
+        f"ELSE l END AS labels FROM l{K}"
+    )
+
+
+ORACLES["incr_wcc"] = _incr_wcc_oracle()
+QUERIES["incr_wcc"] = q_incr_wcc

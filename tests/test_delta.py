@@ -141,3 +141,63 @@ def test_warm_restart_equals_cold_on_rebuilt_graph(spark):
     assert set(a) == set(b)
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_incremental_wcc_quotient_path(spark):
+    """incremental_wcc == cold WCC on the updated graph, while touching
+    only quotient-scale state. Scenario: two diameter-9 paths bridged by
+    one added edge, plus an added edge introducing a brand-new vertex."""
+    from linkgraph.algorithms.wcc import (
+        incremental_wcc,
+        weakly_connected_components,
+    )
+
+    rows = [(i, i + 1) for i in range(9)] + [(10 + i, 11 + i) for i in range(9)]
+    g = Graph.from_edgelist(_edge_df(spark, rows), directed=False, renumber=False)
+    l0 = weakly_connected_components(g)
+    assert {r.labels for r in l0.collect()} == {0, 10}
+    adds = spark.createDataFrame([(9, 19), (19, 20)], "src LONG, dst LONG")
+    g2 = apply_edge_delta(g, adds)
+    inc = incremental_wcc(g2, l0, adds)
+    cold = weakly_connected_components(g2)
+    a = sorted((r.vertex, r.labels) for r in inc.collect())
+    b = sorted((r.vertex, r.labels) for r in cold.collect())
+    assert a == b
+    assert {l for _, l in a} == {0}  # everything merged into component 0
+
+
+def test_incremental_wcc_empty_and_untouched(spark):
+    """A delta that merges nothing (self-contained new component) leaves
+    old labels untouched and labels the new vertices canonically."""
+    from linkgraph.algorithms.wcc import (
+        incremental_wcc,
+        weakly_connected_components,
+    )
+
+    g = Graph.from_edgelist(
+        _edge_df(spark, [(0, 1), (2, 3)]), directed=False, renumber=False
+    )
+    l0 = weakly_connected_components(g)
+    adds = spark.createDataFrame([(5, 6)], "src LONG, dst LONG")
+    g2 = apply_edge_delta(g, adds)
+    inc = {(r.vertex, r.labels) for r in incremental_wcc(g2, l0, adds).collect()}
+    cold = {
+        (r.vertex, r.labels)
+        for r in weakly_connected_components(g2).collect()
+    }
+    assert inc == cold
+    assert (5, 5) in inc and (6, 5) in inc and (4, 4) in inc  # 4 isolated
+
+
+def test_incremental_wcc_init_labels_equivalence(spark):
+    """The plain init_labels warm start also reaches the identical
+    fixpoint (it just propagates inside merged regions edge-by-edge)."""
+    from linkgraph.algorithms.wcc import weakly_connected_components
+
+    rows = [(i, i + 1) for i in range(9)] + [(10 + i, 11 + i) for i in range(9)]
+    g = Graph.from_edgelist(_edge_df(spark, rows), directed=False, renumber=False)
+    l0 = weakly_connected_components(g)
+    g2 = apply_edge_delta(g, spark.createDataFrame([(9, 19)], "src LONG, dst LONG"))
+    warm = weakly_connected_components(g2, init_labels=l0)
+    cold = weakly_connected_components(g2)
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
