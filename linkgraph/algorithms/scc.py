@@ -28,13 +28,19 @@ Coloring-Based Parallel Algorithms for SCC"):
 
 All V-row state is broadcast-gated (BROADCAST_STATE_MAX_V) and every loop
 iteration truncates lineage + carried stats via truncate_plan (see
-linkgraph/plans.py for the compounding-stats pathology).
+linkgraph/plans.py for the compounding-stats pathology). E-scale tables
+(edges, the same-color subset ec) are instead PERSISTED hash-partitioned:
+InMemoryRelation keeps outputPartitioning, so the per-iteration joins read
+them co-partitioned with no E-side exchange (a truncated LogicalRDD forgets
+its partitioning — measured 2.5x slower per coloring iteration and 0.45
+vs 0.85 4-to-16-core scaling efficiency at RMAT-21).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..plans import release_plan, truncate_plan
 from ..structure.graph import Graph
@@ -65,14 +71,23 @@ def strongly_connected_components(
     def _state(df, key):
         return F.broadcast(df) if bcast else df.repartition(nparts, key)
 
-    # multiplicity and weights are irrelevant to SCC; self-loops are too
-    edges = (
-        graph.edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(nparts, "src")
+    # multiplicity and weights are irrelevant to SCC; self-loops are too.
+    # E-scale tables are PERSISTED hash-partitioned (never truncate_plan'd):
+    # InMemoryRelation keeps outputPartitioning, so every coloring/BFS
+    # iteration joins the cached edges co-partitioned with ZERO exchange on
+    # the E side — the same plan contract as pagerank's ecoef. A truncated
+    # LogicalRDD forgets its partitioning and re-shuffles all E rows per
+    # iteration (measured at RMAT-21 local[16]: 8.6 s/coloring-iter truncated
+    # vs 3.4 s persisted; 4→16 scaling efficiency 0.45 vs 0.85).
+    def _persist_edges(df, key):
+        out = df.repartition(nparts, key).persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+
+    edges = _persist_edges(
+        graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
+        "src",
     )
-    edges = truncate_plan(edges, eager=True)
     active = truncate_plan(graph.vertices(), eager=True)
     assigned: DataFrame | None = None
     counters = {"rounds": 0, "trim_rounds": 0, "color_iters": 0, "bfs_iters": 0}
@@ -110,7 +125,7 @@ def strongly_connected_components(
                     active.join(_state(trimmed, "vertex"), on="vertex", how="left_anti"),
                     eager=True,
                 )
-                edges = truncate_plan(
+                edges = _persist_edges(
                     edges.join(
                         _state(trimmed.select(F.col("vertex").alias("src")), "src"),
                         on="src",
@@ -120,13 +135,13 @@ def strongly_connected_components(
                         on="dst",
                         how="left_anti",
                     ),
-                    eager=True,
+                    "src",
                 )
-                # both replacements are eager-materialized; the superseded
-                # E/V-scale checkpoints can be freed now (trimmed stays:
-                # the lazy `assigned` chain reads its checkpoint at the end)
+                # both replacements are materialized; the superseded E/V
+                # storage can be freed now (trimmed stays: the lazy
+                # `assigned` chain reads its checkpoint at the end)
                 release_plan(old_active)
-                release_plan(old_edges)
+                old_edges.unpersist()
             if active.count() == 0:
                 break
             # --- forward min-coloring to fixpoint ---
@@ -190,9 +205,8 @@ def strongly_connected_components(
                 )
                 .filter(F.col("c_s") == F.col("c_d"))
                 .select("src", "dst")
-                .repartition(nparts, "dst")
             )
-            ec = truncate_plan(ec, eager=True)
+            ec = _persist_edges(ec, "dst")
             member = truncate_plan(
                 color.filter(F.col("vertex") == F.col("color")).select("vertex"),
                 eager=True,
@@ -228,7 +242,7 @@ def strongly_connected_components(
                 active.join(_state(member, "vertex"), on="vertex", how="left_anti"),
                 eager=True,
             )
-            edges = truncate_plan(
+            edges = _persist_edges(
                 edges.join(
                     _state(member.select(F.col("vertex").alias("src")), "src"),
                     on="src",
@@ -238,15 +252,16 @@ def strongly_connected_components(
                     on="dst",
                     how="left_anti",
                 ),
-                eager=True,
+                "src",
             )
             release_plan(old_active)
-            release_plan(old_edges)
+            old_edges.unpersist()
             # ec is round-local (the lazy `assigned` chain reads member and
             # color, never ec); member/color stay until the final select
-            release_plan(ec)
+            ec.unpersist()
         else:
             raise RuntimeError("scc: max_rounds exceeded")
+    edges.unpersist()
     if stats is not None:
         stats.update(counters)
     if assigned is None:
