@@ -120,10 +120,14 @@ def _local_moves(
             _state(sigma.select("c", F.col("sig").alias("sig_cur")), "c"), on="c"
         )
         # k_{v,c}: E-row join + map-side-combined hash agg, then attach the
-        # vertex's own (c, k_v, sig_cur). EAGER checkpoint: `cur` feeds both
-        # the k_in branch and the candidate branch of the same downstream
-        # job, and every downstream op (k_in join, argmax, label join)
-        # reuses its vertex partitioning exchange-free.
+        # vertex's own (c, k_v, sig_cur). `cur` feeds both the k_in branch
+        # and the candidate branch of the same downstream job, so it is
+        # PERSISTED repartitioned on vertex — InMemoryRelation keeps
+        # outputPartitioning, so the k_in join, cand join, and the argmax
+        # groupBy all read it exchange-free (an eager truncate_plan stores
+        # the same bytes in the block manager but forgets the partitioning
+        # and re-exchanges the ~E-row table downstream; same pathology
+        # measured in SCC: 2.5x per-iteration cost).
         lab_src = _state(
             labels.select(F.col("vertex").alias("src"), F.col("c").alias("c_nbr")),
             "src",
@@ -133,8 +137,9 @@ def _local_moves(
             .groupBy(F.col("dst").alias("vertex"), "c_nbr")
             .agg(F.sum("w").alias("k_vc"))
             .join(_state(kvl, "vertex"), on="vertex")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cur = truncate_plan(cur, eager=True)
+        cur.count()
         k_in_tab = cur.filter(F.col("c_nbr") == F.col("c")).select(
             "vertex", F.col("k_vc").alias("k_in")
         )
@@ -193,10 +198,10 @@ def _local_moves(
         ).first()
         n_moved, n_comms = stats["nm"], stats["nc"]
         # new_labels is materialized by the count: this pass's E-scale
-        # `cur` checkpoint and the superseded labels state can be freed NOW
+        # `cur` cache and the superseded labels state can be freed NOW
         # — left to the ContextCleaner they accumulate ~E rows/pass in the
         # block manager and move passes degrade 3-4x by pass 8 (RMAT-21).
-        release_plan(cur)
+        cur.unpersist()
         release_plan(labels_ck)
         labels_ck = new_labels
         if round_timings is not None:
