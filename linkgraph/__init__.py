@@ -43,6 +43,7 @@ from .algorithms.traversal import (
 )
 from .algorithms.katz import KatzConvergenceError, katz_centrality
 from .algorithms.hits import hits
+from .algorithms.salsa import salsa
 from .algorithms.link_prediction import (
     jaccard,
     jaccard_w,
@@ -257,6 +258,7 @@ __all__ = [
     "rw_path",
     "renumber_edges",
     "rmat_edges",
+    "salsa",
     "erdos_renyi_edges",
     "path_graph_edges",
     "mesh_graph_edges",

@@ -554,6 +554,24 @@ def q_hits(spark, sf_dir):
     )
 
 
+SALSA_ITERS = 5
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority random walk (beyond-reference; algorithms/
+    salsa.py) — fixed iterations so the DuckDB oracle can replay the
+    degree-normalized message passing exactly."""
+    from .algorithms.salsa import salsa as _salsa
+
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    res = _salsa(g, fixed_iterations=SALSA_ITERS)
+    return res.select(
+        "vertex",
+        F.round(F.col("hubs") * 1e7).cast("long").alias("hubs_e7"),
+        F.round(F.col("authorities") * 1e7).cast("long").alias("auth_e7"),
+    )
+
+
 def q_ego_graph(spark, sf_dir):
     g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
     return _bego(g, EGO_SEEDS, radius=EGO_RADIUS).select("seed", "vertex", "distance")
@@ -752,6 +770,71 @@ def _hits_oracle() -> str:
     )
 
 
+def _salsa_oracle() -> str:
+    """Unrolled replay of salsa.py's exact recurrence: per iteration a
+    forward job (push h and t to dst, scale by inv_in) then a backward job
+    (gather q and the L1-normalized a to src, scale by inv_out), with each
+    chain renormalized where the engine folds its norm literal."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({LINK_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM univ)",
+        # degree inverses ride the state; 0 when the degree is 0 (that
+        # chain drops the vertex's mass, matching salsa.py's coalesce)
+        "deg AS MATERIALIZED (SELECT u.v, "
+        "CASE WHEN o.c IS NULL THEN 0.0 ELSE 1.0/o.c END AS inv_out, "
+        "CASE WHEN i.c IS NULL THEN 0.0 ELSE 1.0/i.c END AS inv_in "
+        "FROM univ u "
+        "LEFT JOIN (SELECT src AS v, count(*) AS c FROM edges GROUP BY src) o "
+        "ON u.v = o.v "
+        "LEFT JOIN (SELECT dst AS v, count(*) AS c FROM edges GROUP BY dst) i "
+        "ON u.v = i.v)",
+        # every hop is scaled by the degree of the node being LEFT:
+        # t0(i) = sum_{i->k} a0(k) * inv_in(k) with a0 uniform = 1/n
+        "s0 AS MATERIALIZED (SELECT d.v, d.inv_out, d.inv_in, "
+        "1.0/(SELECT n FROM nv) AS h, 1.0/(SELECT n FROM nv) AS a, "
+        "coalesce(t.s, 0.0) AS t FROM deg d LEFT JOIN "
+        "(SELECT e.src AS v, sum(1.0/(SELECT n FROM nv) * p.inv_in) AS s "
+        "FROM edges e JOIN deg p ON e.dst = p.v GROUP BY e.src) t "
+        "ON d.v = t.v)",
+    ]
+    for k in range(1, SALSA_ITERS + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT b.v, b.inv_out, b.inv_in, b.h, b.a, "
+            f"coalesce(m.r, 0.0) AS a_raw, "
+            f"coalesce(m.p, 0.0) AS q "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, "
+            f"sum(p.h * p.inv_out) AS p, sum(p.t * p.inv_out) AS r "
+            f"FROM edges e JOIN {p} p ON e.src = p.v "
+            f"GROUP BY e.dst) m ON b.v = m.v)"
+        )
+        parts.append(
+            f"an{k} AS MATERIALIZED (SELECT v, inv_out, inv_in, h, q, "
+            f"a_raw / (SELECT sum(a_raw) FROM f{k}) AS a_n FROM f{k})"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT b.v, b.inv_out, b.inv_in, b.a_n, "
+            f"coalesce(m.z, 0.0) AS h_raw, "
+            f"coalesce(m.s, 0.0) AS t_new "
+            f"FROM an{k} b LEFT JOIN (SELECT e.src AS v, "
+            f"sum(p.q * p.inv_in) AS z, sum(p.a_n * p.inv_in) AS s "
+            f"FROM edges e JOIN an{k} p ON e.dst = p.v "
+            f"GROUP BY e.src) m ON b.v = m.v)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v, inv_out, inv_in, "
+            f"h_raw / (SELECT sum(h_raw) FROM b{k}) AS h, a_n AS a, "
+            f"t_new AS t FROM b{k})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(h * 1e7) AS BIGINT) AS hubs_e7, "
+        f"CAST(round(a * 1e7) AS BIGINT) AS auth_e7 FROM s{SALSA_ITERS}"
+    )
+
+
 def _ego_oracle() -> str:
     seeds = ", ".join(str(s) for s in EGO_SEEDS)
     parts = [
@@ -781,6 +864,7 @@ ORACLES.update(
         "bfs": _bfs_oracle(),
         "katz": _katz_oracle(),
         "hits": _hits_oracle(),
+        "salsa": _salsa_oracle(),
         "ego_graph": _ego_oracle(),
         "hypergraph_edges": """
             SELECT 'event::' || CAST(o_orderkey AS VARCHAR) AS src,
@@ -800,6 +884,7 @@ QUERIES.update(
         "bfs": q_bfs,
         "katz": q_katz,
         "hits": q_hits,
+        "salsa": q_salsa,
         "ego_graph": q_ego_graph,
         "hypergraph_edges": q_hypergraph_edges,
         "core_number": q_core_number,

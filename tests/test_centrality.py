@@ -139,3 +139,68 @@ def test_hits_nstart_and_fused_delta(spark):
     for v in range(V):
         assert abs(got[v][0] - h[v]) < 1e-6
         assert abs(got[v][1] - a[v]) < 1e-6
+
+
+def oracle_salsa(src, dst, V, iters):
+    """NumPy replay of salsa.py's documented message-passing recurrence."""
+    W = np.zeros((V, V))
+    W[src, dst] = 1.0
+    od, idg = W.sum(1), W.sum(0)
+    inv_out = np.where(od > 0, 1.0 / np.where(od > 0, od, 1), 0.0)
+    inv_in = np.where(idg > 0, 1.0 / np.where(idg > 0, idg, 1), 0.0)
+    h = np.full(V, 1.0 / V)
+    a = np.full(V, 1.0 / V)
+    t = W @ (a * inv_in)
+    for _ in range(iters):
+        p, r = W.T @ (h * inv_out), W.T @ (t * inv_out)
+        a_n = r / r.sum()
+        q = p
+        z, s = W @ (q * inv_in), W @ (a_n * inv_in)
+        h = z / z.sum()
+        t = s
+        a = a_n
+    return h, a
+
+
+def test_salsa_vs_numpy(spark):
+    from linkgraph import salsa
+
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate-asymmetric.csv"), weight="weight",
+        renumber=False, directed=True,
+    )
+    V = g.number_of_vertices()
+    src, dst = _coo(g)
+    res = salsa(g, fixed_iterations=7)
+    got = {r.vertex: (r.hubs, r.authorities) for r in res.collect()}
+    h, a = oracle_salsa(src, dst, V, 7)
+    for v in range(V):
+        assert abs(got[v][0] - h[v]) < 1e-9
+        assert abs(got[v][1] - a[v]) < 1e-9
+
+
+def test_salsa_stationary_is_degree_proportional(spark):
+    """Lempel-Moran: when the authority chain is irreducible (connected
+    co-citation structure — here every authority shares hub 0) the
+    converged authority distribution is proportional to in-degree and the
+    hub distribution to out-degree. This pins the walk's normalization
+    direction: normalizing at the RECEIVING end instead converges to
+    uniform, not degree-proportional."""
+    from linkgraph import salsa
+
+    edges = (
+        [(0, j) for j in range(3, 8)]
+        + [(1, 3), (1, 4), (2, 5), (2, 6)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edgelist(df, directed=True, renumber=False)
+    res = salsa(g, max_iter=500, tol=1e-12).collect()
+    idg = {}
+    od = {}
+    for s, d in edges:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    E = len(edges)
+    for r in res:
+        assert abs(r.authorities - idg.get(r.vertex, 0) / E) < 1e-6
+        assert abs(r.hubs - od.get(r.vertex, 0) / E) < 1e-6
