@@ -44,6 +44,7 @@ from .algorithms.traversal import (
 from .algorithms.katz import KatzConvergenceError, katz_centrality
 from .algorithms.hits import hits
 from .algorithms.salsa import salsa
+from .algorithms.anf import effective_diameter, neighborhood_function
 from .algorithms.link_prediction import (
     jaccard,
     jaccard_w,
@@ -198,6 +199,7 @@ __all__ = [
     "audio_features",
     "cosine_topk",
     "decode_image_stats",
+    "effective_diameter",
     "ego_graph",
     "exact_dedup",
     "extract_links",
@@ -253,6 +255,7 @@ __all__ = [
     "pages_to_edges",
     "quality_metrics",
     "random_walks",
+    "neighborhood_function",
     "node2vec_walks",
     "uniform_neighbor_sample",
     "rw_path",

@@ -1,0 +1,220 @@
+"""ANF — approximate neighborhood function and effective diameter.
+
+Beyond-reference operator (the reference has exact BFS/SSSP but no
+neighborhood-function sketch): ANF (Palmer, Gibbons & Faloutsos, KDD'02)
+estimates N(t) = #(u,v) pairs with dist(u,v) <= t for ALL t in one pass
+family, which is how diameter / effective diameter is measured on
+web-scale graphs (HyperANF on Common Crawl / Facebook's four-degrees
+study) where exact all-pairs BFS is V * E and impossible.
+
+Method. Each vertex carries r Flajolet-Martin registers; register j of
+vertex v starts as a single set bit at position tz(hash(v, j)) (geometric:
+P[bit k] = 2^-(k+1)). One superstep ORs each vertex's registers with its
+out-neighbors' registers:
+
+    B(v, t+1) = B(v, t) | OR_{v->w} B(w, t)
+
+so after t steps B(v, t) sketches the set of vertices reachable from v in
+<= t hops. The ball-size estimate is the FM count 2^R / 0.77351 with R the
+mean lowest-zero-bit position across registers; N(t) sums the per-vertex
+estimates. Effective diameter at quantile q is the smallest t with
+N(t) >= q * N(t_max) (linear interpolation between hops, the standard
+HyperANF convention).
+
+Physical plan. Register state is LONG format (vertex, j, mask) — r rows
+per vertex — so the superstep is pure JVM hash aggregation:
+
+    union(state, edges_t JOIN state-keyed-dst) -> groupBy(vertex, j).bit_or
+
+One E-scale join (edge side persisted hash-partitioned on dst, state side
+shuffled — the pagerank contract) + one map-side-combined BIT_OR shuffle
+per superstep; bit_or partial aggregation collapses a hub's messages to
+<= 1 row per map partition exactly like the WCC min-reduce, so power-law
+skew needs no salting. Per superstep ONE driver action (the r*V-row
+register-position sum that doubles as the N(t) curve point). At 100 TB:
+state is r*V rows of 3 longs (r=8: ~24 bytes/vertex-register), the same
+shuffle volume class as one PageRank iterate; iteration count is the
+(effective) diameter, ~16-20 on web graphs.
+
+``hash_mode="lcg"`` replaces xxhash64 with a 31-bit LCG so the whole
+pipeline is exact integer arithmetic replicable in ANSI SQL (the driver
+oracle unrolls it); production default stays xxhash64.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans import release_plan, truncate_plan
+from ..structure.graph import Graph
+from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
+
+FM_PHI = 0.77351  # Flajolet-Martin bias correction
+# 31-bit multiply-seed + xorshift mix: exact BIGINT arithmetic (max
+# intermediate < 2^44), replicable operator-for-operator in DuckDB. A bare
+# LCG is NOT usable here: its trailing bits are periodic (bit 0 has period
+# 2), which destroys the geometric trailing-zero distribution FM needs —
+# the xorshift rounds fold the well-mixed high bits back into the low bits.
+LCG_A, LCG_C, LCG_M, LCG_J = 2654435761, 12345, 2 ** 31, 40503
+LCG_TZ_CAP = 30  # h == 0 would have no set bit; cap the register position
+
+
+def _tz_pos(h):
+    """Bit position of the lowest SET bit of h (h > 0): bit_count((h & -h) - 1)."""
+    return F.bit_count((h.bitwiseAND(-h)) - F.lit(1)).cast("int")
+
+
+def _init_masks(vertices: DataFrame, num_registers: int, seed: int,
+                hash_mode: str) -> DataFrame:
+    """DF[vertex, j, mask]: one geometric FM bit per (vertex, register)."""
+    regs = F.explode(F.sequence(F.lit(0), F.lit(num_registers - 1))).alias("j")
+    base = vertices.select("vertex", regs)
+    if hash_mode == "lcg":
+        h = (
+            F.lit(LCG_A) * (F.col("vertex") + F.col("j") * F.lit(LCG_J) + F.lit(seed))
+            + F.lit(LCG_C)
+        ) % F.lit(LCG_M)
+        # two xorshift rounds (kept under 2^31 by masking after each shift)
+        h = h.bitwiseXOR(F.shiftleft(h, 13).bitwiseAND(F.lit(LCG_M - 1)))
+        h = h.bitwiseXOR(F.shiftright(h, 17))
+        h = h.bitwiseXOR(F.shiftleft(h, 5).bitwiseAND(F.lit(LCG_M - 1)))
+        pos = F.when(h == 0, F.lit(LCG_TZ_CAP)).otherwise(
+            F.least(_tz_pos(h), F.lit(LCG_TZ_CAP))
+        )
+    else:
+        h = F.xxhash64("vertex", "j", F.lit(seed))
+        # xxhash64 is signed; use the low 62 bits so h > 0
+        h = h.bitwiseAND(F.lit((1 << 62) - 1))
+        pos = F.when(h == 0, F.lit(LCG_TZ_CAP)).otherwise(
+            F.least(_tz_pos(h), F.lit(LCG_TZ_CAP))
+        )
+    return base.select("vertex", "j", pos.alias("pos")).select(
+        "vertex",
+        "j",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), pos) AS BIGINT)").alias("mask"),
+    )
+
+
+def _lowest_zero_pos(mask):
+    """Position of the lowest ZERO bit = count of trailing ones:
+    bit_count(mask & ~(mask + 1))."""
+    return F.bit_count(
+        mask.bitwiseAND(F.bitwise_not(mask + F.lit(1)))
+    ).cast("long")
+
+
+def neighborhood_function(
+    graph: Graph,
+    max_hops: int = 16,
+    num_registers: int = 8,
+    seed: int = 42,
+    hash_mode: str = "xxhash",
+    num_partitions: int | None = None,
+    return_sketches: bool = False,
+):
+    """Estimate N(t) for t = 0..max_hops (directed: ordered reachable pairs).
+
+    Returns (curve, sketches): ``curve`` is a list of dicts
+    ``{"hop", "reg_total", "n_est"}`` — ``reg_total`` is the INTEGER sum of
+    register lowest-zero positions (exact, SQL-replicable in lcg mode),
+    ``n_est`` the float FM estimate of N(t). ``sketches`` is the final
+    DF[vertex, j, mask] when ``return_sketches`` else None. Stops early
+    when a superstep changes no register (the exact-diameter fixpoint).
+    """
+    spark = graph.edges.sparkSession
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
+    edges_t = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_t.count()
+    V = graph.number_of_vertices()
+    bcast = V * num_registers <= BROADCAST_STATE_MAX_V
+
+    def _state(df, key):
+        return F.broadcast(df) if bcast else df.repartition(nparts, key)
+
+    state = truncate_plan(
+        _init_masks(graph.vertices(), num_registers, seed, hash_mode), eager=False
+    )
+    state_ck = state
+
+    def _curve_point(st, hop):
+        tot = st.agg(
+            F.sum(_lowest_zero_pos(F.col("mask"))).alias("rt")
+        ).collect()[0]["rt"]
+        mean_pos = tot / (V * num_registers)
+        return {
+            "hop": hop,
+            "reg_total": int(tot),
+            "n_est": V * (2.0 ** mean_pos) / FM_PHI,
+        }
+
+    curve = [_curve_point(state, 0)]
+    with no_aqe(spark):
+        for t in range(1, max_hops + 1):
+            msgs = (
+                edges_t.join(
+                    _state(
+                        state.select(
+                            F.col("vertex").alias("dst"), "j", "mask"
+                        ),
+                        "dst",
+                    ),
+                    on="dst",
+                )
+                .select(F.col("src").alias("vertex"), "j", "mask")
+            )
+            new = truncate_plan(
+                state.unionByName(msgs)
+                .groupBy("vertex", "j")
+                .agg(F.bit_or("mask").alias("mask")),
+                eager=False,  # single consumer: the curve-point aggregate
+            )
+            pt = _curve_point(new, t)
+            release_plan(state_ck)
+            state_ck = new
+            state = new
+            curve.append(pt)
+            if pt["reg_total"] == curve[-2]["reg_total"]:
+                break  # no register changed: every ball is closed (exact)
+    sketches = None
+    if return_sketches:
+        sketches = state
+        if graph.renumbered:
+            sketches = graph.unrenumber(sketches, "vertex")
+    edges_t.unpersist()
+    return curve, sketches
+
+
+def effective_diameter(
+    graph: Graph,
+    q: float = 0.9,
+    max_hops: int = 64,
+    num_registers: int = 8,
+    seed: int = 42,
+    hash_mode: str = "xxhash",
+    num_partitions: int | None = None,
+) -> float:
+    """Smallest (interpolated) t with N(t) >= q * N(t_last); runs
+    neighborhood_function to its fixpoint (or max_hops)."""
+    curve, _ = neighborhood_function(
+        graph, max_hops=max_hops, num_registers=num_registers, seed=seed,
+        hash_mode=hash_mode, num_partitions=num_partitions,
+    )
+    target = q * curve[-1]["n_est"]
+    for i, pt in enumerate(curve):
+        if pt["n_est"] >= target:
+            if i == 0:
+                return 0.0
+            prev = curve[i - 1]["n_est"]
+            frac = (target - prev) / ((pt["n_est"] - prev) or 1.0)
+            return (i - 1) + max(0.0, min(1.0, frac))
+    return float(len(curve) - 1)

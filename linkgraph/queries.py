@@ -555,6 +555,22 @@ def q_hits(spark, sf_dir):
 
 
 SALSA_ITERS = 5
+ANF_HOPS, ANF_REGS, ANF_SEED = 3, 4, 42
+
+
+def q_anf(spark, sf_dir):
+    """ANF/Flajolet-Martin reachability sketches (beyond-reference;
+    algorithms/anf.py) in hash_mode="lcg": the multiply+xorshift register
+    init and the bit_or supersteps are exact BIGINT arithmetic, so the
+    DuckDB oracle replays every register mask value-for-value."""
+    from .algorithms.anf import neighborhood_function
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    _curve, sketches = neighborhood_function(
+        g, max_hops=ANF_HOPS, num_registers=ANF_REGS, seed=ANF_SEED,
+        hash_mode="lcg", return_sketches=True,
+    )
+    return sketches.select("vertex", "j", "mask")
 
 
 def q_salsa(spark, sf_dir):
@@ -835,6 +851,45 @@ def _salsa_oracle() -> str:
     )
 
 
+def _anf_oracle() -> str:
+    """Operator-for-operator replay of anf.py's lcg mode: 31-bit multiply
+    seed, two-and-a-half xorshift rounds (masked to 31 bits after each
+    left shift), FM single-bit register init, then ANF_HOPS bit_or
+    supersteps over the out-neighbor gather."""
+    from .algorithms.anf import LCG_A, LCG_C, LCG_J, LCG_M, LCG_TZ_CAP
+
+    mask31 = LCG_M - 1
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT src, dst FROM ({SUPPLY_EDGES_SQL}) "
+        "WHERE src <> dst)",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        f"regs AS (SELECT unnest(generate_series(0, {ANF_REGS - 1})) AS j)",
+        f"h0 AS (SELECT v, j, (({LCG_A} * (v + j * {LCG_J} + {ANF_SEED}) "
+        f"+ {LCG_C}) % {LCG_M}) AS h FROM univ CROSS JOIN regs)",
+        f"h1 AS (SELECT v, j, xor(h, (h << 13) & {mask31}) AS h FROM h0)",
+        "h2 AS (SELECT v, j, xor(h, h >> 17) AS h FROM h1)",
+        f"h3 AS (SELECT v, j, xor(h, (h << 5) & {mask31}) AS h FROM h2)",
+        "s0 AS MATERIALIZED (SELECT v, j, (CAST(1 AS BIGINT) << "
+        f"(CASE WHEN h = 0 THEN {LCG_TZ_CAP} "
+        f"ELSE least(bit_count((h & -h) - 1), {LCG_TZ_CAP}) END)) AS mask "
+        "FROM h3)",
+    ]
+    for k in range(1, ANF_HOPS + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v, j, bit_or(mask) AS mask FROM ("
+            f"SELECT v, j, mask FROM {p} "
+            f"UNION ALL "
+            f"SELECT e.src AS v, p.j, p.mask FROM edges e "
+            f"JOIN {p} p ON e.dst = p.v) GROUP BY v, j)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, j, mask FROM s{ANF_HOPS}"
+    )
+
+
 def _ego_oracle() -> str:
     seeds = ", ".join(str(s) for s in EGO_SEEDS)
     parts = [
@@ -865,6 +920,7 @@ ORACLES.update(
         "katz": _katz_oracle(),
         "hits": _hits_oracle(),
         "salsa": _salsa_oracle(),
+        "anf": _anf_oracle(),
         "ego_graph": _ego_oracle(),
         "hypergraph_edges": """
             SELECT 'event::' || CAST(o_orderkey AS VARCHAR) AS src,
@@ -885,6 +941,7 @@ QUERIES.update(
         "katz": q_katz,
         "hits": q_hits,
         "salsa": q_salsa,
+        "anf": q_anf,
         "ego_graph": q_ego_graph,
         "hypergraph_edges": q_hypergraph_edges,
         "core_number": q_core_number,
