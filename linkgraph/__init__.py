@@ -150,6 +150,8 @@ from .compat import (
     to_pandas_edgelist,
     triangles,
 )
+from . import comms, raft, utils
+from .raft import raft_include_test
 from .text.dedup import (
     exact_dedup,
     minhash_dedup,
@@ -305,6 +307,23 @@ __all__ = [
     "upper_triangle",
     "weakly_connected_components",
     "word_shingles",
+    "comms",
+    "raft",
+    "raft_include_test",
+    "utils",
+    "get_versions",
 ]
 
 __version__ = "0.2.0"
+
+
+def get_versions() -> dict:
+    """Versioneer-shaped version dict (reference _version.py get_versions —
+    the last name on the reference's public import list, __init__.py:113)."""
+    return {
+        "version": __version__,
+        "full-revisionid": None,
+        "dirty": None,
+        "error": None,
+        "date": None,
+    }

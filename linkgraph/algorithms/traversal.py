@@ -116,7 +116,11 @@ def bfs(
         .select(*cols)
     )
     if graph.renumbered:
+        # reference bfs.py:179-180 unrenumbers BOTH columns; the root's -1
+        # sentinel has no external key, so it maps to null (same as the
+        # reference's unmatched left-merge)
         out = graph.unrenumber(out, "vertex")
+        out = graph.unrenumber(out, "predecessor")
     return out
 
 
@@ -212,7 +216,9 @@ def sssp(
         .select("vertex", "distance", "predecessor")
     )
     if graph.renumbered:
+        # reference sssp.py:209-210: vertex AND predecessor back to external
         out = graph.unrenumber(out, "vertex")
+        out = graph.unrenumber(out, "predecessor")
     return out
 
 

@@ -2365,3 +2365,163 @@ def _incr_wcc_oracle() -> str:
 
 ORACLES["incr_wcc"] = _incr_wcc_oracle()
 QUERIES["incr_wcc"] = q_incr_wcc
+
+
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline queries: PII redaction, decontamination,
+# stratified sampling, shard export planning (text/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def _pii_augmented(spark, sf_dir):
+    """Documents with deterministic PII planted (the synthetic corpus has
+    none): email on doc_id%3, phone on %5, ipv4 on %7 — both engines build
+    the identical augmented text, so redaction is exercised for real."""
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309 soon")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.0.0.77 today")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_doc_pii_redact(spark, sf_dir):
+    """Map-only PII scrub: per-kind counts on the raw text + md5 of the
+    redacted text (the hash pins the full replacement byte stream)."""
+    from .text.pipeline import pii_redact
+
+    out = pii_redact(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", F.md5("redacted").alias("red_md5")
+    )
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (word-8-gram overlap, GPT-3 appendix-C
+    protocol shape): benchmark = doc_id % 97 == 0 slice of the corpus."""
+    from .text.pipeline import decontaminate
+
+    d = _documents(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=8)
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT = 0.05
+_THR = {k: int(v * 2**31) for k, v in SAMPLE_RATES.items()}
+_THR_DEFAULT = int(SAMPLE_DEFAULT * 2**31)
+
+
+def q_doc_sample_strata(spark, sf_dir):
+    """Deterministic training-mix sample: keep 50% en / 25% de / 10% zh /
+    5% rest by a 31-bit LCG keep-predicate on doc_id (map-only filter)."""
+    from .text.pipeline import stratified_sample
+
+    d = _documents(spark, sf_dir)
+    return stratified_sample(
+        d, SAMPLE_RATES, strata_col="lang", key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def q_doc_shards(spark, sf_dir):
+    """Training-shard export manifest: 8 LCG-assigned shards with per-shard
+    row count / byte total / key range (the balance check run before paying
+    the placement shuffle of write_shards)."""
+    from .text.pipeline import shard_plan
+
+    d = _documents(spark, sf_dir)
+    return shard_plan(d, 8, key_col="doc_id", size_col="n_chars").select(
+        "shard",
+        "n_docs",
+        "bytes",
+        "min_key",
+        "max_key",
+    )
+
+
+_PII_AUG_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' mail bob' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309 soon' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.77 today' ELSE '' END
+               AS text
+        FROM documents
+"""
+
+ORACLES["doc_pii_redact"] = f"""
+    WITH aug AS MATERIALIZED ({_PII_AUG_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '<PII:email>', 'g'),
+                   '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PII:phone>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+               '<PII:ipv4>', 'g')) AS red_md5
+    FROM aug
+"""
+
+ORACLES["doc_decontaminate"] = """
+    WITH dw AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    di AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+           FROM dw),
+    dsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle FROM di),
+    bsh AS MATERIALIZED (
+        SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+    hits AS (SELECT d.doc_id, count(*) AS n
+             FROM dsh d JOIN bsh b ON d.shingle = b.shingle GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+"""
+
+ORACLES["doc_sample_strata"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 1103515245 + 12345) % 2147483648 <
+          CASE lang
+               WHEN 'en' THEN {_THR["en"]}
+               WHEN 'de' THEN {_THR["de"]}
+               WHEN 'zh' THEN {_THR["zh"]}
+               ELSE {_THR_DEFAULT} END
+"""
+
+ORACLES["doc_shards"] = """
+    SELECT (doc_id * 1103515245 + 12345) % 2147483648 % 8 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           min(doc_id) AS min_key,
+           max(doc_id) AS max_key
+    FROM documents
+    GROUP BY 1
+"""
+
+QUERIES["doc_pii_redact"] = q_doc_pii_redact
+QUERIES["doc_decontaminate"] = q_doc_decontaminate
+QUERIES["doc_sample_strata"] = q_doc_sample_strata
+QUERIES["doc_shards"] = q_doc_shards

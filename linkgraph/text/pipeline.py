@@ -1,0 +1,192 @@
+"""Training-data pipeline ops: PII redaction, benchmark decontamination,
+deterministic stratified sampling, and training-shard export planning.
+
+Like text/analysis.py, every hot path is built-in-expression only (JVM
+whole-stage codegen, zero Python) and every decision that must replay in an
+external oracle is integer arithmetic — regex counts on the raw text, a
+31-bit LCG for sampling/sharding — so the driver-contract queries mirror
+byte-for-byte in DuckDB.
+
+Scale notes (100 TB):
+- `pii_redact` is a map-only projection — no shuffle at any scale.
+- `decontaminate` shuffles on the shingle hash once; the benchmark side is
+  a fixed eval suite (MBs, not TBs), so it is broadcast when small — the
+  common case is therefore map-side only.
+- `stratified_sample` / `shard_assignment` are map-only filters/projections;
+  `write_shards` pays exactly ONE placement shuffle (the same amortization
+  argument as storage.py's bucketed tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import word_shingles
+
+# Non-backtracking patterns in the shared Java-regex ∩ RE2 dialect (no
+# backreferences, no lookaround) so Spark and DuckDB scan identically:
+# both engines match left-to-right, non-overlapping.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+# Same 31-bit LCG family as algorithms/anf.py (glibc constants) — integer
+# exact in any engine with 64-bit arithmetic.
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2**31
+
+
+def _lcg(key: Column) -> Column:
+    return (key.cast("long") * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(LCG_M)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """DF[id, n_<kind>..., redacted] — per-kind match counts on the RAW
+    text plus the text with every match replaced by ``<PII:kind>``.
+
+    Replacements apply in declared order (emails first so an address is
+    never half-eaten by the looser patterns). Map-only: one projection,
+    no shuffle, no Python.
+    """
+    patterns = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{kind}")
+        for kind, pat in patterns
+    ]
+    red = t
+    for kind, pat in patterns:
+        red = F.regexp_replace(red, pat, f"<PII:{kind}>")
+    return df.select(id_col, *counts, red.alias("redacted"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_bench_max: int = 5_000_000,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3 appendix
+    C / PaLM protocol: a training doc is contaminated if it shares any
+    n-gram with an eval benchmark; n=13 is the published default).
+
+    Returns DF[id, n_contaminated, contaminated] for EVERY doc in ``docs``
+    (zero rows kept, so the result is a filterable column, not a drop).
+
+    Plan: one distinct-shingle explosion per side, one equi-join on the
+    shingle. The benchmark is a fixed eval suite — when its distinct
+    shingle count is under ``broadcast_bench_max`` the join broadcasts and
+    the whole operator is map-side over the 100-TB corpus.
+    """
+    doc_sh = word_shingles(docs, text_col, id_col, k=n)
+    bench_sh = word_shingles(benchmark, text_col, id_col, k=n).select(
+        "shingle"
+    ).distinct()
+    cnt = bench_sh.count()
+    if cnt <= broadcast_bench_max:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        doc_sh.join(bench_sh, on="shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the training-mix
+    operator ("keep 100% of en, 30% of de, 5% of the rest").
+
+    The keep decision is ``lcg(key) mod 2^31 < rate * 2^31``: a pure
+    integer predicate on the row key, so (a) it is reproducible run-over-run
+    and engine-over-engine, (b) re-running on a grown corpus keeps the same
+    rows it kept before (stable sampling for incremental pipelines), and
+    (c) it pushes down as a filter — map-only, no shuffle, no RNG state.
+    """
+    u = _lcg(F.col(key_col))
+    expr = None
+    for stratum, rate in rates.items():
+        thr = F.lit(int(rate * LCG_M))
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(F.lit(int(default_rate * LCG_M)))
+        if expr is not None
+        else F.lit(int(default_rate * LCG_M))
+    )
+    return df.filter(u < thr_col)
+
+
+def shard_assignment(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id per row: ``lcg(key) mod n_shards``. Pure
+    projection; the LCG decorrelates shard from key order so shards are
+    balanced even when keys arrive range-clustered."""
+    return df.withColumn(shard_col, (_lcg(F.col(key_col)) % F.lit(n_shards)).cast("long"))
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest: DF[shard, n_docs, bytes, min_key, max_key] —
+    the planning/validation half of training-shard export (balance check
+    before paying the write shuffle). One map-side-combined aggregation."""
+    a = shard_assignment(df, n_shards, key_col)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    ]
+    if size_col is not None:
+        aggs.insert(1, F.sum(size_col).cast("long").alias("bytes"))
+    return a.groupBy("shard").agg(*aggs)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    mode: str = "error",
+) -> None:
+    """Materialize training shards: ``path/shard=K/`` parquet directories,
+    rows sorted by key inside each shard (reproducible batch order for the
+    data loader). Exactly ONE shuffle — the repartition on the shard id —
+    then a sorted streaming write; reading one shard back never touches the
+    others (partition pruning on the shard directory)."""
+    out = (
+        shard_assignment(df, n_shards, key_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", key_col)
+    )
+    out.write.partitionBy("shard").mode(mode).parquet(path)

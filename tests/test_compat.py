@@ -95,9 +95,9 @@ def test_strong_connected_component_alias(spark):
 
 
 # Every name the reference exports at package level (reference
-# cugraph/__init__.py:14-110), minus the GPU/RAFT plumbing that has no
-# meaning off-GPU (raft_include_test, comms) and versioneer. The judge's
-# round-2 probe found 5 misses; this pins the full list importable.
+# cugraph/__init__.py:14-113) — ALL of them, including the infra layer
+# (utils, comms, raft_include_test, get_versions), which round 3 shims
+# with Spark-native semantics. This pins the full 80-name list importable.
 REFERENCE_PUBLIC_NAMES = [
     # community (__init__.py:14-29)
     "ecg", "ktruss_subgraph", "k_truss", "louvain", "leiden",
@@ -131,6 +131,8 @@ REFERENCE_PUBLIC_NAMES = [
     "minimum_spanning_tree", "maximum_spanning_tree",
     "strong_connected_component", "find_bicliques", "hungarian",
     "dense_hungarian", "force_atlas2", "random_walks", "rw_path",
+    # infra (__init__.py:100-113): utilities, RAFT probe, comms, versioneer
+    "utils", "raft_include_test", "comms", "get_versions",
 ]
 
 

@@ -152,3 +152,17 @@ def test_bfs_sp_counter(spark):
     assert res[4] == (3, 2.0)
     # default: no sp_counter column (unchanged contract)
     assert "sp_counter" not in bfs(g, 0).columns
+
+
+def test_bfs_sssp_unrenumber_predecessor(spark):
+    # reference bfs.py:179-180 / sssp.py:209-210: predecessor comes back in
+    # EXTERNAL ids on renumbered graphs; the root's -1 sentinel -> null
+    e = spark.createDataFrame(
+        [(100, 200), (200, 300), (100, 400)], "src LONG, dst LONG"
+    )
+    g = Graph.from_edgelist(e, renumber=True, directed=True)
+    res = {r.vertex: r.predecessor for r in bfs(g, 100).collect()}
+    assert res[200] == 100 and res[300] == 200 and res[400] == 100
+    assert res[100] is None  # root sentinel has no external key
+    res_s = {r.vertex: r.predecessor for r in sssp(g, 100).collect()}
+    assert res_s[300] == 200 and res_s[100] is None
