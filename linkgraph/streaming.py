@@ -241,3 +241,158 @@ def stream_sessionize_events(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming graph maintenance: edge-delta stream -> versioned edge store
+# -> warm-restart analytics per cycle (the streaming half of the recrawl
+# family in structure/delta.py)
+# ---------------------------------------------------------------------------
+
+GRAPH_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("dw", T.DoubleType()),  # signed: +insert / -delete
+    ]
+)
+
+_V_RE_TMPL = "v%012d"
+
+
+def _store_versions(io, store_dir: str) -> list[int]:
+    out = []
+    for name in io.listdir(store_dir):
+        if name.startswith("v") and io.exists(f"{store_dir}/{name}/meta.json"):
+            try:
+                out.append(int(name[1:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_edge_store(spark: SparkSession, store_dir: str):
+    """(Graph, meta dict) at the store's latest committed version, or
+    (None, None) for an empty store. Reads ONLY the manifest + one parquet
+    directory — versions are immutable snapshots."""
+    import json as _json
+
+    from .checkpoint import _io
+    from .structure.graph import Graph
+
+    io = _io()
+    versions = _store_versions(io, store_dir)
+    if not versions:
+        return None, None
+    v = versions[-1]
+    vdir = f"{store_dir}/{_V_RE_TMPL % v}"
+    meta = _json.loads(io.read_text(f"{vdir}/meta.json"))
+    edges = spark.read.parquet(f"{vdir}/data")
+    g = Graph(edges=edges, directed=meta["directed"], weighted=True,
+              renumbered=False, nmap=None, multi=False)
+    return g, meta
+
+
+def stream_graph_maintenance(
+    spark: SparkSession,
+    delta_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    directed: bool = True,
+    run_pagerank: bool = True,
+    pagerank_tol: float = 1.0e-6,
+    pagerank_max_iter: int = 100,
+    trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """readStream(signed edge deltas) -> ``foreachBatch`` -> versioned edge
+    store + warm-restarted PageRank per recrawl cycle.
+
+    Store layout (same marker-last commit protocol as checkpoint.py —
+    data first, ``meta.json`` last, partial versions never read):
+
+        <store_dir>/v000000000007/data/*.parquet   weighted edge snapshot
+        <store_dir>/v000000000007/scores/*.parquet vertex, pagerank
+        <store_dir>/v000000000007/meta.json        lineage + metrics
+
+    Exactly-once: the version directory is named by the micro-batch id, so
+    a replayed batch (foreachBatch's at-least-once contract) overwrites its
+    own version and re-commits — idempotent, never double-applied. The meta
+    manifest records the delta row count, edge counts before/after, and the
+    warm PageRank iteration count per cycle — the per-cycle lineage +
+    convergence metrics trail, queryable as JSON.
+
+    Scale: each cycle costs ONE E-scale union+hash-agg shuffle
+    (apply_edge_delta) + a warm-restart PageRank that converges in a
+    fraction of the cold iteration count because the previous fixpoint
+    seeds ``nstart`` (structure/delta.py §10 of docs/PLANS.md).
+    """
+    import json as _json
+
+    from .algorithms.pagerank import pagerank as _pagerank
+    from .checkpoint import _io
+    from .structure.delta import apply_edge_delta
+    from .structure.graph import Graph
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        io = _io()
+        io.mkdirs(store_dir)
+        prev_g, prev_meta = read_edge_store(spark, store_dir)
+        if prev_g is None:
+            base = spark.createDataFrame(
+                [], "src LONG, dst LONG, weight DOUBLE"
+            )
+            prev_g = Graph(edges=base, directed=directed, weighted=True,
+                           renumbered=False, nmap=None, multi=False)
+            edges_before = 0
+        else:
+            edges_before = prev_meta["edges_after"]
+        g2 = apply_edge_delta(prev_g, batch_df, weight="dw")
+        vdir = f"{store_dir}/{_V_RE_TMPL % batch_id}"
+        io.delete(vdir)  # replayed batch: drop its partial version first
+        g2.edges.write.mode("overwrite").parquet(f"{vdir}/data")
+        committed = spark.read.parquet(f"{vdir}/data")
+        edges_after = committed.count()
+        meta = {
+            "version": batch_id,
+            "directed": directed,
+            "delta_rows": batch_df.count(),
+            "edges_before": edges_before,
+            "edges_after": edges_after,
+            "prev_version": prev_meta["version"] if prev_meta else None,
+        }
+        if run_pagerank and edges_after > 0:
+            g_committed = Graph(edges=committed, directed=directed,
+                                weighted=True, renumbered=False, nmap=None,
+                                multi=False)
+            nstart = None
+            if prev_meta is not None and prev_meta.get("pagerank_iters"):
+                pvdir = f"{store_dir}/{_V_RE_TMPL % prev_meta['version']}"
+                nstart = spark.read.parquet(f"{pvdir}/scores").select(
+                    "vertex", F.col("pagerank").alias("values")
+                )
+            timings: list = []
+            pr = _pagerank(
+                g_committed, tol=pagerank_tol, max_iter=pagerank_max_iter,
+                nstart=nstart, iteration_timings=timings,
+                fail_on_nonconvergence=False,
+            )
+            pr.write.mode("overwrite").parquet(f"{vdir}/scores")
+            meta["pagerank_iters"] = len(timings)
+            meta["warm_start"] = nstart is not None
+        # marker-last commit: meta.json existence == version committed
+        io.write_text(f"{vdir}/meta.json", _json.dumps(meta))
+
+    deltas = spark.readStream.schema(GRAPH_DELTA_SCHEMA)
+    if max_files_per_trigger is not None:
+        deltas = deltas.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = deltas.parquet(delta_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
