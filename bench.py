@@ -104,6 +104,8 @@ def main() -> None:
             "events_hourly",
             "doc_gopher",
             "host_pagerank",
+            "doc_span_dedup",
+            "ppr",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
         return timings, ts

@@ -24,6 +24,7 @@ from .structure.hypergraph import hypergraph
 from .structure.renumber import NumberMap, build_number_map, renumber_edges
 from .structure.symmetrize import symmetrize_edges, upper_triangle
 from .algorithms.pagerank import PageRankConvergenceError, pagerank
+from .algorithms.ppr import batched_personalized_pagerank, ppr_topk
 from .algorithms.wcc import (
     connected_components,
     incremental_wcc,
@@ -160,6 +161,7 @@ from .text.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
     simhash_signatures,
+    span_dedup,
 )
 
 __all__ = [
@@ -254,6 +256,8 @@ __all__ = [
     "maximum_spanning_tree",
     "minimum_spanning_tree",
     "pagerank",
+    "batched_personalized_pagerank",
+    "ppr_topk",
     "pages_to_edges",
     "quality_metrics",
     "random_walks",
@@ -271,6 +275,7 @@ __all__ = [
     "shortest_path_length",
     "simhash_near_pairs",
     "simhash_signatures",
+    "span_dedup",
     "sorensen",
     "sorensen_w",
     "strongly_connected_components",

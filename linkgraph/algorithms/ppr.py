@@ -1,0 +1,197 @@
+"""Batched personalized PageRank (random-walk-with-restart) for many seeds.
+
+The reference's pagerank takes ONE personalization vector per call
+(link_analysis/pagerank.py:22-31); production link recommendation wants the
+restart-to-seed variant for MANY seeds in one pass. This operator runs k
+seeds in a single DataFrame program with long-format state
+(seed, vertex, r): only REACHED vertices carry rows, so early supersteps
+are frontier-sized, not k x V.
+
+Update rule per seed s (the reference's personalized update,
+pagerank_impl.cuh:244-261, with the whole personalization mass on s):
+
+    r'(v) = alpha * sum_{u->v} w(u,v)/outw(u) * r(u)
+            + [v = s] * ((1 - alpha) + alpha * dangling_s)
+
+Mass conservation makes the dangling term FREE: with r0 = 1 at the seed,
+total mass per seed is exactly 1 every iteration (alpha*T + (1-alpha) = 1
+at T = 1), so
+
+    dangling_s = 1 - (sum of this superstep's propagated messages)/alpha
+    restart row r = 1 - sum(messages_s)
+
+and no dangling-vertex flag, vertex-table join, or driver action is needed
+in the loop.
+
+Fixed iteration count, ZERO per-iteration driver actions: the alpha^T tail
+bound (|r_T - r*|_1 <= 2 * alpha^T per seed) makes T a precision knob, so
+the loop is T chained lazy stages; on a 1000-executor cluster nothing
+synchronizes until the caller's single final action. Plans are truncated
+every few supersteps to keep the lazy DAG O(1) deep.
+
+100-TB shape per superstep: one shuffle of the state onto the persisted
+hash-partitioned coefficient edge table (the same table pagerank.py
+reuses every superstep) + one map-side-combined (seed, dst) aggregation;
+the k restart rows ride the same aggregation through a union. The per-seed
+message sums reuse the persisted message table (no recompute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans import release_plan
+from ..structure.graph import Graph
+from .pagerank import _prepare, no_aqe
+
+
+def batched_personalized_pagerank(
+    graph: Graph,
+    seeds: list,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    num_partitions: int | None = None,
+    truncate_every: int = 4,
+) -> DataFrame:
+    """DF[vertex-typed seed, vertex, ppr] — one personalized PageRank vector
+    per seed, rows only for vertices with mass > 0 (the reached set, a
+    deterministic function of the edge set and iteration count). `seed` and
+    `vertex` are external ids if the graph was renumbered.
+    """
+    state = _ppr_state(graph, seeds, alpha, iterations, num_partitions, truncate_every)
+    out = state.select("seed", "vertex", F.col("r").alias("ppr"))
+    out = graph.unrenumber(out, "vertex")
+    return graph.unrenumber(out, "seed").select("seed", "vertex", "ppr")
+
+
+def _ppr_state(
+    graph: Graph,
+    seeds: list,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    num_partitions: int | None = None,
+    truncate_every: int = 4,
+) -> DataFrame:
+    """Internal-id state DF[seed, vertex, r] — the superstep loop itself.
+    Kept separate so ppr_topk can rank on the numeric internal ids before
+    unrenumbering (string external ids can't ride the negate-for-ascending
+    struct-sort trick)."""
+    if not seeds:
+        raise ValueError("ppr needs at least one seed")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("duplicate seed vertices")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = graph.edges.sparkSession
+    _vtab, ecoef, nparts = _prepare(graph, num_partitions)
+
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(seeds)], ["__ext__"]
+    )
+    if graph.renumbered:
+        internal = graph.nmap.add_internal_vertex_id(
+            seed_df, "__ext__", "seed"
+        ).select("seed")
+        if internal.count() != len(seeds):
+            raise ValueError("ppr seed vertex not in graph")
+        seeds_int = internal
+    else:
+        seeds_int = seed_df.select(F.col("__ext__").cast("long").alias("seed"))
+    seeds_int = F.broadcast(seeds_int.select("seed"))
+
+    # r0 = 1 at the seed itself (classic RWR start; total mass 1 per seed).
+    state = seeds_int.select("seed", F.col("seed").alias("vertex"), F.lit(1.0).alias("r"))
+
+    with no_aqe(spark):
+        prev_msgs = None
+        for it in range(1, iterations + 1):
+            st_src = state.select(
+                F.col("vertex").alias("src"), "seed", "r"
+            ).repartition(nparts, "src")
+            msgs = (
+                ecoef.join(st_src, on="src")
+                .groupBy("seed", F.col("dst").alias("vertex"))
+                .agg(F.sum(F.col("coef") * F.col("r") * F.lit(alpha)).alias("r"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # restart mass: 1 - sum of propagated messages (k tiny rows),
+            # derived from the SAME persisted message table — no second
+            # pass over the edge join, no driver action.
+            restart = (
+                seeds_int.join(
+                    msgs.groupBy("seed").agg(F.sum("r").alias("m")),
+                    on="seed",
+                    how="left",
+                )
+                .select(
+                    "seed",
+                    F.col("seed").alias("vertex"),
+                    (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))).alias("r"),
+                )
+            )
+            new = (
+                msgs.unionByName(restart)
+                .groupBy("seed", "vertex")
+                .agg(F.sum("r").alias("r"))
+            )
+            if it % truncate_every == 0 or it == iterations:
+                new = new.localCheckpoint(eager=True)
+                release_plan(prev_msgs)
+                release_plan(msgs)
+                prev_msgs = None
+            else:
+                new = new.localCheckpoint(eager=False)
+                release_plan(prev_msgs)
+                prev_msgs = msgs
+            state = new
+
+    return state
+
+
+def ppr_topk(
+    graph: Graph,
+    seeds: list,
+    k: int = 10,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    include_seed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DF[seed, vertex, ppr, rnk] — top-k recommendation targets per seed by
+    personalized PageRank mass, seed itself excluded unless asked for.
+
+    Two-phase top-k (partition-local prefilter, then a <= P*k-row merge) —
+    never a full per-seed sort; ties broken by vertex id ascending so the
+    result is deterministic under any partitioning. Ranking happens on the
+    INTERNAL numeric ids (external ids may be strings), so on a renumbered
+    graph ties break by internal (degree-desc) id — deterministic for a
+    given graph."""
+    full = _ppr_state(
+        graph, seeds, alpha=alpha, iterations=iterations, num_partitions=num_partitions
+    ).select("seed", "vertex", F.col("r").alias("ppr"))
+    if not include_seed:
+        full = full.filter(F.col("seed") != F.col("vertex"))
+    # sort key: ppr desc, vertex asc — encode vertex ascending inside the
+    # descending struct sort by negating it (internal ids are numeric).
+    item = F.struct(F.col("ppr"), (-F.col("vertex")).alias("nv"), F.col("vertex"))
+    part = (
+        full.groupBy("seed", F.spark_partition_id().alias("__pid__"))
+        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False), 1, k).alias("top"))
+        .select("seed", F.explode("top").alias("t"))
+        .select("seed", F.col("t.ppr").alias("ppr"), F.col("t.vertex").alias("vertex"))
+    )
+    final = (
+        part.groupBy("seed")
+        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False), 1, k).alias("top"))
+        .select("seed", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "seed",
+            F.col("t.vertex").alias("vertex"),
+            F.col("t.ppr").alias("ppr"),
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+        )
+    )
+    final = graph.unrenumber(final, "vertex")
+    return graph.unrenumber(final, "seed").select("seed", "vertex", "ppr", "rnk")

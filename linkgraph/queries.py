@@ -2525,3 +2525,113 @@ QUERIES["doc_pii_redact"] = q_doc_pii_redact
 QUERIES["doc_decontaminate"] = q_doc_decontaminate
 QUERIES["doc_sample_strata"] = q_doc_sample_strata
 QUERIES["doc_shards"] = q_doc_shards
+
+
+# ---------------------------------------------------------------------------
+# batched personalized PageRank (random-walk-with-restart) + span dedup
+# ---------------------------------------------------------------------------
+
+PPR_SEEDS = [0, 17, 42, 101, 256]
+PPR_ITERS = 10
+SPAN_W = 8
+
+
+def q_ppr(spark, sf_dir):
+    """Batched personalized PageRank: one restart-to-seed vector per seed in
+    a single long-format DataFrame program (algorithms/ppr.py). Only reached
+    vertices carry rows, so row set AND values are checked."""
+    from .algorithms.ppr import batched_personalized_pagerank
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    res = batched_personalized_pagerank(
+        g, PPR_SEEDS, alpha=ALPHA, iterations=PPR_ITERS
+    )
+    return res.select(
+        "seed", "vertex", F.round(F.col("ppr") * 1e7).cast("long").alias("ppr_e7")
+    )
+
+
+def _ppr_oracle() -> str:
+    """Iteration-unrolled restart-to-seed replay: per superstep one message
+    aggregation (a * r / outdeg) plus a per-seed restart row holding the
+    non-propagated mass (1 - sum of that superstep's messages)."""
+    a = ALPHA
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        "od AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM edges GROUP BY src)",
+        f"seeds AS MATERIALIZED (SELECT unnest([{seeds}]) AS seed)",
+        "r0 AS MATERIALIZED (SELECT seed, seed AS v, 1.0 AS r FROM seeds)",
+    ]
+    for k in range(1, PPR_ITERS + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT p.seed, e.dst AS v, "
+            f"sum({a} * p.r / od.od) AS r "
+            f"FROM edges e JOIN {p} p ON e.src = p.v JOIN od ON od.v = e.src "
+            f"GROUP BY p.seed, e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT seed, v, sum(r) AS r FROM ("
+            f"SELECT seed, v, r FROM m{k} UNION ALL "
+            f"SELECT s.seed, s.seed AS v, 1.0 - coalesce(t.s, 0.0) AS r "
+            f"FROM seeds s LEFT JOIN (SELECT seed, sum(r) AS s FROM m{k} "
+            f"GROUP BY seed) t ON s.seed = t.seed) GROUP BY seed, v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT seed, v AS vertex, CAST(round(r * 1e7) AS BIGINT) AS ppr_e7"
+        f" FROM r{PPR_ITERS}"
+    )
+
+
+def q_doc_span_dedup(spark, sf_dir):
+    """Exact duplicate-span removal (ExactSubstr, Lee et al. 2021) at word
+    granularity: every non-canonical occurrence of a corpus-duplicated
+    8-token span is cut and documents reassembled (text/dedup.py)."""
+    from .text.dedup import span_dedup
+
+    d = _documents(spark, sf_dir)
+    out = span_dedup(d, text_col="text", id_col="doc_id", w=SPAN_W)
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+ORACLES["ppr"] = _ppr_oracle()
+
+ORACLES["doc_span_dedup"] = f"""
+    WITH dw AS MATERIALIZED (
+        SELECT doc_id AS doc, string_split(trim(text), ' ') AS w FROM documents),
+    tok AS MATERIALIZED (
+        SELECT doc, n, pos, w[pos] AS tok FROM (
+            SELECT doc, len(w) AS n, w,
+                   unnest(generate_series(1, len(w))) AS pos FROM dw)),
+    occ AS MATERIALIZED (
+        SELECT doc, i, array_to_string(w[i:i+{SPAN_W - 1}], ' ') AS span FROM (
+            SELECT doc, w, unnest(generate_series(1, len(w) - {SPAN_W - 1})) AS i
+            FROM dw WHERE len(w) >= {SPAN_W})),
+    nc AS (SELECT doc, i FROM (
+        SELECT doc, i,
+               row_number() OVER (PARTITION BY span ORDER BY doc, i) AS rn
+        FROM occ) WHERE rn > 1),
+    cov AS MATERIALIZED (SELECT DISTINCT doc, pos FROM (
+        SELECT doc, unnest(generate_series(i, i + {SPAN_W - 1})) AS pos FROM nc)),
+    surv AS (SELECT t.doc, t.pos, t.tok FROM tok t
+             LEFT JOIN cov c ON t.doc = c.doc AND t.pos = c.pos
+             WHERE c.doc IS NULL),
+    reb AS (SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS txt,
+                   count(*) AS kept FROM surv GROUP BY doc)
+    SELECT d.doc_id,
+           md5(coalesce(r.txt, '')) AS dedup_md5,
+           CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(trim(d.text), ' ')) - coalesce(r.kept, 0) AS BIGINT)
+               AS n_removed
+    FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc
+"""
+
+QUERIES["ppr"] = q_ppr
+QUERIES["doc_span_dedup"] = q_doc_span_dedup

@@ -358,3 +358,90 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal — the ExactSubstr dedup of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally at word granularity instead of suffix arrays:
+
+    - every window of ``w`` consecutive tokens is a span;
+    - a span string occurring at >= 2 positions corpus-wide keeps only its
+      CANONICAL occurrence (minimum (doc, position));
+    - every token covered by a non-canonical occurrence of a duplicated
+      span is dropped, and each document is reassembled from the
+      survivors in original order.
+
+    Deterministic and exactly SQL-replicable (the driver oracle replays it
+    verbatim in DuckDB). Returns DF[id, text_dedup, n_tokens, n_removed].
+
+    100-TB shape: ONE map-side-combined shuffle keyed by the span string
+    (count + min-occurrence per span), one duplicate-scale join back to the
+    occurrence table, a bounded w-fold position explode of non-canonical
+    occurrences only, one anti-join on (doc, position), and one per-doc
+    reassembly agg bounded by document length. No all-pairs stage; the
+    heavy key domain (span strings) is near-unique so the groupBy's
+    partial aggregation carries almost no reduction cost. At petabyte
+    scale the span key would be xxhash64(span) — kept as the raw string
+    here so the oracle is collision-free by construction.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), " ").alias("toks"),
+    ).select("doc", "toks", F.size("toks").alias("n"))
+
+    toks = base.select(
+        "doc", "n", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc", "n", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    occ = (
+        base.filter(F.col("n") >= w)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.col("n") - (w - 1))).alias("i"),
+            "toks",
+        )
+        .select("doc", "i", F.concat_ws(" ", F.slice("toks", F.col("i"), w)).alias("span"))
+    )
+
+    # one shuffle: per-span occurrence count + canonical (min doc, pos)
+    spans = occ.groupBy("span").agg(
+        F.count("*").alias("cnt"), F.min(F.struct("doc", "i")).alias("canon")
+    )
+    noncanon = (
+        occ.join(spans.filter(F.col("cnt") >= 2), on="span")
+        .filter(
+            (F.col("doc") != F.col("canon.doc")) | (F.col("i") != F.col("canon.i"))
+        )
+        .select("doc", "i")
+    )
+    covered = noncanon.select(
+        "doc", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
+    ).distinct()
+
+    survivors = toks.join(covered, on=["doc", "pos"], how="left_anti")
+    rebuilt = survivors.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("doc", "n")
+        .join(rebuilt, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.col("n").alias("n_tokens"),
+            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )
