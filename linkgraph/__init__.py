@@ -117,7 +117,9 @@ from .similarity import (
     ivf_assign,
     ivf_cosine_topk,
     ivf_train_centroids,
+    kmeans_embeddings,
     lsh_cosine_topk,
+    semantic_dedup,
 )
 from .text.analysis import (
     bpe_ish_token_count,
@@ -244,6 +246,8 @@ __all__ = [
     "ivf_assign",
     "ivf_cosine_topk",
     "ivf_train_centroids",
+    "kmeans_embeddings",
+    "semantic_dedup",
     "minhash_dedup",
     "multi_source_bfs",
     "bfs_edges",

@@ -2635,3 +2635,133 @@ ORACLES["doc_span_dedup"] = f"""
 
 QUERIES["ppr"] = q_ppr
 QUERIES["doc_span_dedup"] = q_doc_span_dedup
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup (similarity.py) — EXACT integer replay:
+# quantized vectors, integer dots, and centroid re-quantization whose only
+# float ops (sqrt of an exact integer, one division, one round) are
+# correctly-rounded doubles in both engines — bit-identical assignments.
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITERS = 4
+KM_SCALE = 1000
+KM_DIM = 64
+SEM_TAU_NUM, SEM_TAU_DEN = 2, 5  # cosine >= 0.4 (same tau as emb_near_dup)
+
+
+def _kmeans_cte(k: int, iters: int) -> str:
+    """Shared CTE chain ending in af(id, c, dot) — the final assignment
+    against cent{iters} plus the integer dot to the assigned centroid."""
+    lcg = "(id * 1103515245 + 12345) % 2147483648"
+    parts = [
+        "qv AS MATERIALIZED (SELECT vec_id AS id, t.i AS i, "
+        f"CAST(round(CAST(embedding[t.i] AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS q "
+        f"FROM embeddings, generate_series(1, {KM_DIM}) AS t(i))",
+        "inorm AS MATERIALIZED (SELECT id, sqrt(sum(q*q)) AS nrm FROM qv GROUP BY id)",
+        f"seeds AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY {lcg}, id) - 1 AS c "
+        f"FROM (SELECT DISTINCT id FROM qv) ORDER BY {lcg}, id LIMIT {k})",
+        f"cent0 AS MATERIALIZED (SELECT s.c, q.i, "
+        f"CAST(round({KM_SCALE} * q.q / n.nrm) AS BIGINT) AS q "
+        "FROM seeds s JOIN qv q ON q.id = s.id JOIN inorm n ON n.id = s.id)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT id, c FROM ("
+            f"SELECT q.id, ct.c, row_number() OVER (PARTITION BY q.id "
+            f"ORDER BY sum(q.q * ct.q) DESC, ct.c ASC) AS rn "
+            f"FROM qv q JOIN cent{t-1} ct ON ct.i = q.i GROUP BY q.id, ct.c) "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"su{t} AS MATERIALIZED (SELECT a.c, q.i, sum(q.q) AS s "
+            f"FROM a{t} a JOIN qv q ON q.id = a.id GROUP BY a.c, q.i)"
+        )
+        parts.append(f"nm{t} AS (SELECT c, sqrt(sum(s*s)) AS nrm FROM su{t} GROUP BY c)")
+        parts.append(
+            f"cent{t} AS MATERIALIZED (SELECT p.c, p.i, "
+            f"CASE WHEN su.s IS NULL OR nm.nrm = 0 THEN p.q "
+            f"ELSE CAST(round({KM_SCALE} * su.s / nm.nrm) AS BIGINT) END AS q "
+            f"FROM cent{t-1} p LEFT JOIN su{t} su ON su.c = p.c AND su.i = p.i "
+            f"LEFT JOIN nm{t} nm ON nm.c = p.c)"
+        )
+    parts.append(
+        f"af AS MATERIALIZED (SELECT id, c, dot FROM ("
+        f"SELECT q.id, ct.c, sum(q.q * ct.q) AS dot, "
+        f"row_number() OVER (PARTITION BY q.id "
+        f"ORDER BY sum(q.q * ct.q) DESC, ct.c ASC) AS rn "
+        f"FROM qv q JOIN cent{iters} ct ON ct.i = q.i GROUP BY q.id, ct.c) "
+        f"WHERE rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Distributed spherical k-means over quantized integer vectors
+    (similarity.py kmeans_embeddings) — assignments are bit-exact
+    replicable, so the oracle checks every cluster id."""
+    from .similarity import kmeans_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_embeddings(emb, k=KM_K, iterations=KM_ITERS).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (similarity.py semantic_dedup): k-means
+    clusters, within-cluster near-dup groups, keep-farthest-from-centroid."""
+    from .similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(
+        emb, threshold=SEM_TAU_NUM / SEM_TAU_DEN, k=KM_K, iterations=KM_ITERS
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+ORACLES["emb_kmeans"] = (
+    "WITH "
+    + _kmeans_cte(KM_K, KM_ITERS)
+    + "\nSELECT id AS vec_id, CAST(c AS BIGINT) AS cluster FROM af"
+)
+
+ORACLES["emb_semdedup"] = (
+    "WITH RECURSIVE "
+    + _kmeans_cte(KM_K, KM_ITERS)
+    + f""",
+    n2 AS (SELECT id, sum(q*q) AS n2 FROM qv GROUP BY id),
+    pq AS MATERIALIZED (
+        SELECT x.id AS a_id, y.id AS b_id, sum(qa.q * qb.q) AS dot
+        FROM af x JOIN af y ON x.c = y.c AND x.id < y.id
+        JOIN qv qa ON qa.id = x.id JOIN qv qb ON qb.id = y.id AND qb.i = qa.i
+        GROUP BY x.id, y.id),
+    pr AS MATERIALIZED (
+        SELECT p.a_id, p.b_id FROM pq p
+        JOIN n2 x ON x.id = p.a_id JOIN n2 y ON y.id = p.b_id
+        WHERE p.dot > 0
+          AND {SEM_TAU_DEN * SEM_TAU_DEN} * p.dot * p.dot
+              >= {SEM_TAU_NUM * SEM_TAU_NUM} * x.n2 * y.n2),
+    sym AS (SELECT a_id AS u, b_id AS v FROM pr
+            UNION SELECT b_id, a_id FROM pr),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    lbl AS (SELECT u AS id, least(u, min(v)) AS lbl FROM reach GROUP BY u),
+    rep AS (SELECT lbl, id AS keep_id FROM (
+        SELECT l.lbl, l.id, row_number() OVER (
+            PARTITION BY l.lbl ORDER BY a.dot ASC, l.id ASC) AS rn
+        FROM lbl l JOIN af a ON a.id = l.id) WHERE rn = 1)
+    SELECT a.id AS vec_id, CAST(a.c AS BIGINT) AS cluster,
+           CAST(CASE WHEN l.id IS NULL OR a.id = r.keep_id THEN 1 ELSE 0 END AS INT)
+               AS keep
+    FROM af a LEFT JOIN lbl l ON l.id = a.id LEFT JOIN rep r ON r.lbl = l.lbl
+"""
+)
+
+QUERIES["emb_kmeans"] = q_emb_kmeans
+QUERIES["emb_semdedup"] = q_emb_semdedup

@@ -515,3 +515,265 @@ def lcg_hyperplane_buckets(
     return embeddings.select(F.col(id_col), qv.alias("qv")).select(
         F.col(id_col), F.expr(bucket).alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means + SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1000
+KMEANS_LCG_A = 1103515245
+KMEANS_LCG_C = 12345
+KMEANS_LCG_M = 2**31
+
+
+def _round_half_away(x: float) -> int:
+    """Spark's ROUND (HALF_UP) == DuckDB's round(): half away from zero.
+    Python's built-in round is banker's rounding — never use it here."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _unit_quantized(vec: list, scale: int) -> list[int]:
+    """Integer unit vector at `scale`: round(scale * v_i / |v|). All inputs
+    are integers, so |v| = sqrt(exact int) and the division are correctly-
+    rounded doubles — bit-identical in Spark, DuckDB, and Python."""
+    import math
+
+    nrm = math.sqrt(sum(int(v) * int(v) for v in vec))
+    if nrm == 0.0:
+        return [int(v) for v in vec]
+    return [_round_half_away(scale * int(v) / nrm) for v in vec]
+
+
+def _kmeans_full(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+):
+    """Spherical k-means over integer-quantized vectors — EXACT arithmetic
+    end to end, so the DuckDB oracle replays every assignment bit-for-bit:
+
+    - vectors quantize once to round(scale·x) bigints;
+    - centroids live as integer unit vectors at the same scale
+      (`_unit_quantized`);
+    - assignment = argmax of the INTEGER dot product, ties to the lower
+      cluster id — one whole-stage-codegen map over a k×d literal, no
+      shuffle, no UDF;
+    - update = one map-side-combined groupBy(cluster) with d integer sums;
+      only the k×d sufficient statistics ever reach the driver (the same
+      bounded-driver-state pattern as the IVF trainer and Lanczos);
+    - initial centroids are the k vectors with the smallest LCG(id) —
+      deterministic under any partitioning, SQL-replicable.
+
+    Per iteration: ONE shuffle (k-group aggregation; partial aggregation
+    makes the tiny group count a non-issue) + one k·d-row collect. At 100 TB
+    the data passes stay identical; only k·d scalars sync per round.
+
+    Returns (assign DF[id_col, cluster], centroids list[list[int]], qdf).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    head = embeddings.select(vec_col).first()
+    if head is None:
+        raise ValueError("cannot run k-means on an empty embeddings table")
+    dim = len(head[0])
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+    )
+    q = (
+        embeddings.select(F.col(id_col).alias("id"), qv.alias("qv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    seed_rows = (
+        q.orderBy(
+            (F.col("id") * KMEANS_LCG_A + KMEANS_LCG_C) % KMEANS_LCG_M, F.col("id")
+        )
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot run k-means on an empty embeddings table")
+    cents = [_unit_quantized(r.qv, scale) for r in seed_rows]
+
+    def assign_col(cents_now):
+        lit = F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("long").alias("c"),
+                    F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("qc"),
+                )
+                for c, vec in enumerate(cents_now)
+            ]
+        )
+        scored = F.transform(
+            lit,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), s.qc, lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                ).alias("dot"),
+                (-s.c).alias("nc"),
+            ),
+        )
+        best = F.array_max(scored)
+        return (-best.nc).alias("cluster"), best.dot.alias("dot_c")
+
+    for _ in range(iterations):
+        cluster_col, _dot = assign_col(cents)
+        sums = (
+            q.select(cluster_col, "qv")
+            .groupBy("cluster")
+            .agg(*[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)])
+            .collect()
+        )
+        by_c = {r.cluster: [r[f"s{i}"] for i in range(dim)] for r in sums}
+        new = []
+        for c in range(len(cents)):
+            s = by_c.get(c)
+            uq = _unit_quantized(s, scale) if s is not None else None
+            # empty cluster, or a degenerate zero-sum: keep the old centroid
+            new.append(uq if uq is not None and any(uq) else cents[c])
+        cents = new
+
+    cluster_col, dot_col = assign_col(cents)
+    assign = q.select(F.col("id").alias(id_col), cluster_col, dot_col)
+    return assign, cents, q
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF[id_col, cluster] — deterministic distributed spherical k-means
+    (see `_kmeans_full`). The corpus-clustering primitive behind curation
+    pipelines (SemDeDup, prototypicality filtering, topic balancing)."""
+    assign, _cents, q = _kmeans_full(embeddings, k, iterations, id_col, vec_col)
+    out = assign.select(id_col, "cluster")
+    q.unpersist()
+    return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    with k-means, then inside each cluster drop near-duplicate groups down
+    to one representative — the member FARTHEST from its cluster centroid
+    (the paper's keep rule; low centroid-similarity ≈ least prototypical,
+    keeps the tail), ties to the smaller id.
+
+    DF[id_col, cluster, keep]. Near-dup groups are connected components of
+    the within-cluster pair graph {cosine ≥ threshold}; the quadratic
+    candidate stage is bounded per cluster — the whole point of clustering
+    first — and the threshold compare is integer cross-multiplied
+    (den²·dot² ≥ num²·|a|²·|b|², dot>0) so it is exact in both engines.
+
+    100-TB shape: k-means passes (above) + ONE cluster-keyed self-join for
+    pairs + a min-label loop whose state is only the ids that appear in
+    some pair (duplicate-scale, not corpus-scale).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    assign, _cents, q = _kmeans_full(embeddings, k, iterations, id_col, vec_col)
+    a = assign.select(
+        F.col(id_col).alias("id"), "cluster", "dot_c"
+    ).join(q, on="id")
+    n2 = F.expr("aggregate(transform(qv, x -> x*x), cast(0 as bigint), (a2, v) -> a2 + v)")
+    a = a.withColumn("n2", n2).persist()
+
+    left = a.select(
+        F.col("id").alias("a_id"), "cluster",
+        F.col("qv").alias("ae"), F.col("n2").alias("an2"),
+    )
+    right = a.select(
+        F.col("id").alias("b_id"), "cluster",
+        F.col("qv").alias("be"), F.col("n2").alias("bn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ae"), F.col("be"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        left.join(right, on="cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", dot.alias("dot"), "an2", "bn2")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(den * den) * F.col("dot") * F.col("dot")
+                >= F.lit(num * num) * F.col("an2") * F.col("bn2")
+            )
+        )
+        .select("a_id", "b_id")
+        .persist()
+    )
+
+    # connected components over ONLY the ids that appear in a pair
+    # (duplicate-scale min-label propagation, loops to fixpoint)
+    sym = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionByName(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).persist()
+    lab = sym.select(F.col("u").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    while True:
+        nxt = (
+            sym.join(lab.withColumnRenamed("id", "u"), on="u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            lab.join(nxt, on="id", how="left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.alias("m")
+            .join(lab.alias("o"), on="id")
+            .filter(F.col("m.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lab = merged
+        if changed == 0:
+            break
+
+    # keep rule: per duplicate group, the member farthest from its centroid
+    # (min integer dot to centroid), ties to the smaller id
+    member = a.select("id", "dot_c").join(lab, on="id")
+    rep = member.groupBy("lbl").agg(
+        F.min(F.struct(F.col("dot_c"), F.col("id"))).alias("r")
+    ).select(F.col("lbl"), F.col("r.id").alias("keep_id"))
+    dup_keep = lab.join(rep, on="lbl").select(
+        "id", (F.col("id") == F.col("keep_id")).alias("keep")
+    )
+    out = (
+        a.select("id", "cluster")
+        .join(dup_keep, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+        )
+    )
+    return out
