@@ -119,6 +119,7 @@ from .similarity import (
     ivf_train_centroids,
     kmeans_embeddings,
     lsh_cosine_topk,
+    prototypicality_scores,
     semantic_dedup,
 )
 from .text.analysis import (
@@ -247,6 +248,7 @@ __all__ = [
     "ivf_cosine_topk",
     "ivf_train_centroids",
     "kmeans_embeddings",
+    "prototypicality_scores",
     "semantic_dedup",
     "minhash_dedup",
     "multi_source_bfs",

@@ -2765,3 +2765,34 @@ ORACLES["emb_semdedup"] = (
 
 QUERIES["emb_kmeans"] = q_emb_kmeans
 QUERIES["emb_semdedup"] = q_emb_semdedup
+
+
+def q_emb_proto(spark, sf_dir):
+    """Prototypicality scores (similarity.py prototypicality_scores):
+    cosine to the assigned k-means centroid. The double arithmetic is a
+    fixed tree over exact integers (sqrt/mult/div — correctly rounded), so
+    even the e6 quantization is bit-identical cross-engine."""
+    from .similarity import prototypicality_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = prototypicality_scores(emb, k=KM_K, iterations=KM_ITERS)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round(F.col("proto") * 1e6).cast("long").alias("proto_e6"),
+    )
+
+
+ORACLES["emb_proto"] = (
+    "WITH "
+    + _kmeans_cte(KM_K, KM_ITERS)
+    + f""",
+    n2 AS (SELECT id, sum(q*q) AS n2 FROM qv GROUP BY id),
+    cn AS (SELECT c, sqrt(sum(q*q)) AS cn FROM cent{KM_ITERS} GROUP BY c)
+    SELECT a.id AS vec_id, CAST(a.c AS BIGINT) AS cluster,
+           CAST(round((a.dot / (sqrt(n2.n2) * cn.cn)) * 1000000.0) AS BIGINT)
+               AS proto_e6
+    FROM af a JOIN n2 ON n2.id = a.id JOIN cn ON cn.c = a.c
+"""
+)
+QUERIES["emb_proto"] = q_emb_proto

@@ -777,3 +777,44 @@ def semantic_dedup(
         )
     )
     return out
+
+
+def prototypicality_scores(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DF[id_col, cluster, proto] — SSL-prototype difficulty score (Sorscher
+    et al. 2022, "Beyond neural scaling laws": cosine similarity to the
+    assigned k-means centroid; high = prototypical/easy, low = hard/tail).
+    Data pruning keeps the hard tail at large corpus scale.
+
+    Physical shape: the k-means passes plus ONE whole-stage-codegen map —
+    the score is the integer assignment dot divided by the two exactly-
+    computed norms (sqrt of exact integers), so no extra shuffle, no rank
+    window, and the value is bit-identical in Spark, Python, and DuckDB.
+    Consumers threshold or sample on `proto` map-side.
+    """
+    import math
+
+    assign, cents, q = _kmeans_full(embeddings, k, iterations, id_col, vec_col)
+    cnorms = [math.sqrt(sum(v * v for v in c)) for c in cents]
+    cn = F.element_at(
+        F.array(*[F.lit(float(x)) for x in cnorms]),
+        F.col("cluster").cast("int") + 1,
+    )
+    n2 = F.expr(
+        "aggregate(transform(qv, x -> x*x), cast(0 as bigint), (a2, v) -> a2 + v)"
+    )
+    scored = (
+        assign.select(F.col(id_col).alias("id"), "cluster", "dot_c")
+        .join(q, on="id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            (F.col("dot_c") / (F.sqrt(n2.cast("double")) * cn)).alias("proto"),
+        )
+    )
+    return scored

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling evidence for the late-round-3 webtext/curation operators
+(span_dedup, kmeans_embeddings) — same protocol as scripts/algo_scaling.py:
+no real cluster exists in this sandbox, so the north rule's two-cluster-size
+criterion is evidenced by running the IDENTICAL job at local[N] and
+local[4N] on the IDENTICAL deterministic synthetic input, one fresh JVM per
+level, shuffle partitions held CONSTANT across levels.
+
+Inputs are generated INSIDE Spark (spark.range + pure-JVM expressions), so
+there is no driver-side data and the generator itself scales with the
+executor count:
+
+- span_dedup corpus: ``n_docs`` documents of ``doc_len`` tokens drawn from a
+  ``vocab``-token vocabulary by a per-(doc, pos) LCG — small vocab so w-token
+  spans genuinely repeat and the duplicate path does real work.
+- kmeans corpus: ``n_vecs`` 64-dim unit-ish vectors from the same LCG.
+
+Usage: python scripts/webtext_scaling.py [--levels 8,32] [--n-docs 1500000]
+       [--n-vecs 1500000] [--ops span_dedup,kmeans] [--repeat 1]
+Child mode: --child --op span_dedup --cpus N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SHUFFLE_PARTITIONS = 64  # constant across levels per the r1 methodology note
+
+
+def _spark(cpus: int):
+    from linkgraph.session import get_spark
+
+    return get_spark(
+        app_name=f"webtext-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+    )
+
+
+def _doc_corpus(spark, n_docs: int, doc_len: int = 40, vocab: int = 5000):
+    """DF[doc_id, text] — deterministic, generated executor-side. Tokens come
+    from murmur3 hash(base, j) (no arithmetic structure), and every 5th doc
+    copies its 100-block anchor's text, so ~20% of documents are genuine
+    duplicates — the span-dedup duplicate path does real, bounded work."""
+    from pyspark.sql import functions as F
+
+    base = f"CASE WHEN id % 5 = 0 THEN id - (id % 100) ELSE id END"
+    tok = (
+        f"transform(sequence(1, {doc_len}), j -> "
+        f"concat('t', cast(pmod(hash({base}, j), {vocab}) as string)))"
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(f"concat_ws(' ', {tok})").alias("text"),
+    )
+
+
+def _vec_corpus(spark, n_vecs: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    vec = (
+        f"transform(sequence(1, {dim}), j -> "
+        f"cast((id * 1103515245 + j * 7919 + 12345) % 2147483648 as double) "
+        f"/ 2147483648.0 - 0.5)"
+    )
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), F.expr(vec).alias("embedding")
+    )
+
+
+def run_child(op: str, cpus: int, n_docs: int, n_vecs: int) -> None:
+    spark = _spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    if op == "span_dedup":
+        from linkgraph.text.dedup import span_dedup
+
+        df = _doc_corpus(spark, n_docs).cache()
+        df.count()  # pay generation + cache before timing
+        # warm-up: codegen/shuffle-path on a small slice
+        span_dedup(df.limit(20000)).count()
+        t0 = time.time()
+        out = span_dedup(df)
+        removed = out.agg({"n_removed": "sum"}).collect()[0][0]
+        wall = time.time() - t0
+        units = n_docs * 40  # tokens processed
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": units, "removed": int(removed or 0)}))
+    elif op == "kmeans":
+        from linkgraph.similarity import kmeans_embeddings
+
+        df = _vec_corpus(spark, n_vecs).cache()
+        df.count()
+        kmeans_embeddings(df.limit(20000), k=8, iterations=1).count()
+        t0 = time.time()
+        kmeans_embeddings(df, k=8, iterations=4).count()
+        wall = time.time() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_vecs * 4}))
+    else:
+        raise SystemExit(f"unknown op {op}")
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--n-docs", type=int, default=1_500_000)
+    ap.add_argument("--n-vecs", type=int, default=1_500_000)
+    ap.add_argument("--ops", default="span_dedup,kmeans")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--op")
+    ap.add_argument("--cpus", type=int)
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args.op, args.cpus, args.n_docs, args.n_vecs)
+        return
+
+    levels = [int(x) for x in args.levels.split(",")]
+    results = []
+    for rep in range(args.repeat):
+        for op in args.ops.split(","):
+            for cpus in levels:
+                cmd = [
+                    sys.executable, os.path.abspath(__file__), "--child",
+                    "--op", op, "--cpus", str(cpus),
+                    "--n-docs", str(args.n_docs), "--n-vecs", str(args.n_vecs),
+                ]
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, cwd=REPO, check=True
+                )
+                line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+                rec = json.loads(line)
+                rec["rep"] = rep
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    # scaling efficiency per op: (t_N / t_4N) / (4N/N)
+    by = {}
+    for r in results:
+        by.setdefault(r["op"], {}).setdefault(r["cpus"], []).append(r["wall_s"])
+    summary = {}
+    for op, lv in by.items():
+        lo, hi = min(lv), max(lv)
+        t_lo = min(lv[lo])
+        t_hi = min(lv[hi])
+        eff = (t_lo / t_hi) / (hi / lo)
+        summary[op] = {
+            f"t_{lo}": t_lo, f"t_{hi}": t_hi,
+            "speedup": round(t_lo / t_hi, 3),
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps({"summary": summary}))
+    with open(os.path.join(REPO, "BENCH", "webtext_scaling.json"), "w") as f:
+        json.dump({"results": results, "summary": summary,
+                   "shuffle_partitions": SHUFFLE_PARTITIONS}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

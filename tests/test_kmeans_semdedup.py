@@ -160,3 +160,22 @@ def test_k_exceeds_corpus(spark):
     out = kmeans_embeddings(df, k=5, iterations=2).collect()
     assert len(out) == 3
     assert len({r.cluster for r in out}) <= 3
+
+
+def test_prototypicality_scores(spark):
+    from linkgraph.similarity import prototypicality_scores
+
+    vecs = _lcg_vecs(40, 10)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: (r.cluster, r.proto) for r in
+           prototypicality_scores(df, k=3, iterations=2).collect()}
+    assign, cents = _py_kmeans(vecs, 3, 2)
+    for i, (c, dot) in assign.items():
+        gc, gp = out[i]
+        assert gc == c
+        n2 = sum(q * q for q in (_round_half_away(x * KMEANS_SCALE) for x in vecs[i]))
+        cn = math.sqrt(sum(v * v for v in cents[c]))
+        assert gp == dot / (math.sqrt(n2) * cn)  # bit-exact, no approx
+        assert -1.01 <= gp <= 1.01
