@@ -24,7 +24,7 @@ from .structure.hypergraph import hypergraph
 from .structure.renumber import NumberMap, build_number_map, renumber_edges
 from .structure.symmetrize import symmetrize_edges, upper_triangle
 from .algorithms.pagerank import PageRankConvergenceError, pagerank
-from .algorithms.ppr import batched_personalized_pagerank, ppr_topk
+from .algorithms.ppr import batched_personalized_pagerank, ppr_topk, trustrank
 from .algorithms.wcc import (
     connected_components,
     incremental_wcc,
@@ -264,6 +264,7 @@ __all__ = [
     "pagerank",
     "batched_personalized_pagerank",
     "ppr_topk",
+    "trustrank",
     "pages_to_edges",
     "quality_metrics",
     "random_walks",

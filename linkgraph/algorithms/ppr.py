@@ -195,3 +195,40 @@ def ppr_topk(
     )
     final = graph.unrenumber(final, "vertex")
     return graph.unrenumber(final, "seed").select("seed", "vertex", "ppr", "rnk")
+
+
+def trustrank(
+    graph: Graph,
+    trusted: list,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1.0e-5,
+    fixed_iterations: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
+    with the restart biased to a trusted seed set — the classic link-spam
+    demotion primitive. DF[vertex, trust] over ALL vertices.
+
+    Physically this IS the reference's personalized PageRank
+    (link_analysis/pagerank.py:22-31 personalization path, implemented in
+    pagerank.py here): one vector, restart mass split uniformly over the
+    seeds, dangling mass re-seeded to the trusted set. Same superstep plan,
+    same checkpointable loop — zero new physical machinery."""
+    from .pagerank import pagerank
+
+    seeds = sorted(set(trusted))
+    if not seeds:
+        raise ValueError("trustrank needs at least one trusted vertex")
+    spark = graph.edges.sparkSession
+    pers = spark.createDataFrame([(s, 1.0) for s in seeds], ["vertex", "values"])
+    out = pagerank(
+        graph,
+        alpha=alpha,
+        personalization=pers,
+        max_iter=max_iter,
+        tol=tol,
+        fixed_iterations=fixed_iterations,
+        num_partitions=num_partitions,
+    )
+    return out.select("vertex", F.col("pagerank").alias("trust"))

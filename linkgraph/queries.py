@@ -2796,3 +2796,62 @@ ORACLES["emb_proto"] = (
 """
 )
 QUERIES["emb_proto"] = q_emb_proto
+
+
+# ---------------------------------------------------------------------------
+# TrustRank — value-checks the personalized-PageRank code path end to end
+# (pagerank.py's personalization/dangling handling, previously pytest-only)
+# ---------------------------------------------------------------------------
+
+TRUST_SEEDS = [0, 17, 42, 101, 256]
+TRUST_ITERS = 12
+
+
+def q_trustrank(spark, sf_dir):
+    """TrustRank (algorithms/ppr.py trustrank): PageRank with restart biased
+    to a trusted seed set over the supply graph."""
+    from .algorithms.ppr import trustrank
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    tr = trustrank(g, TRUST_SEEDS, alpha=ALPHA, fixed_iterations=TRUST_ITERS)
+    return tr.select(
+        "vertex", F.round(F.col("trust") * 1e7).cast("long").alias("trust_e7")
+    )
+
+
+def _trustrank_oracle() -> str:
+    """Personalized update, unrolled: r'(v) = (dangling_sum·α + (1−α))·p(v)
+    + α·Σ r(u)/od(u); p uniform over the trusted seeds, r0 = 1/V."""
+    a, one_m_a = ALPHA, 1.0 - ALPHA
+    seeds = ", ".join(str(s) for s in TRUST_SEEDS)
+    pshare = 1.0 / len(TRUST_SEEDS)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "outdeg AS (SELECT src AS v, count(*) AS od FROM edges GROUP BY src)",
+        f"vt AS MATERIALIZED (SELECT u.v, coalesce(o.od, 0) AS od, "
+        f"CASE WHEN u.v IN ({seeds}) THEN {pshare!r} ELSE 0.0 END AS p "
+        "FROM univ u LEFT JOIN outdeg o ON u.v = o.v)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM vt)",
+        "r0 AS MATERIALIZED (SELECT v, od, p, 1.0/(SELECT n FROM nv) AS r FROM vt)",
+    ]
+    for k in range(1, TRUST_ITERS + 1):
+        pr = f"r{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT b.v, b.od, b.p, "
+            f"((SELECT sum(CASE WHEN od = 0 THEN r ELSE 0 END) FROM {pr}) * {a} "
+            f"+ {one_m_a}) * b.p + {a} * coalesce(m.s, 0.0) AS r "
+            f"FROM {pr} b LEFT JOIN (SELECT e.dst AS v, sum(p2.r / p2.od) AS s "
+            f"FROM edges e JOIN {pr} p2 ON e.src = p2.v GROUP BY e.dst) m "
+            f"ON b.v = m.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(r * 1e7) AS BIGINT) AS trust_e7"
+        f" FROM r{TRUST_ITERS}"
+    )
+
+
+ORACLES["trustrank"] = _trustrank_oracle()
+QUERIES["trustrank"] = q_trustrank

@@ -365,6 +365,7 @@ def span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 8,
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Exact duplicate-SPAN removal — the ExactSubstr dedup of Lee et al.
     2021 ("Deduplicating Training Data Makes Language Models Better"),
@@ -384,20 +385,30 @@ def span_dedup(
     (count + min-occurrence per span), one duplicate-scale join back to the
     occurrence table, a bounded w-fold position explode of non-canonical
     occurrences only, one anti-join on (doc, position), and one per-doc
-    reassembly agg bounded by document length. No all-pairs stage; the
-    heavy key domain (span strings) is near-unique so the groupBy's
-    partial aggregation carries almost no reduction cost. At petabyte
-    scale the span key would be xxhash64(span) — kept as the raw string
-    here so the oracle is collision-free by construction.
+    reassembly agg bounded by document length. No all-pairs stage.
+
+    Physical plan (only TWO corpus-scale shuffles): the canonical-vs-not
+    decision is ONE window pass over the span-keyed occurrence table
+    (row_number per span, groups = duplicate count, bounded — not a hub
+    window), and document reassembly is a MAP over the original token
+    arrays guided by a duplicate-scale per-doc cut-position set, so the
+    token table is never exploded, anti-joined, or re-collected. (The
+    first version paid groupBy(span) + join-back + token anti-join +
+    collect_list — five corpus-scale shuffles; measured 4→16 scaling on
+    the string shuffle motivated the rewrite.)
+
+    ``hash_spans=True`` is the petabyte tier: the span shuffle key becomes
+    ``xxhash64(span)`` (8 bytes instead of the ~w·word_len-byte string —
+    measurably lighter shuffle/spill). Two spans colliding (~n²/2⁶⁵) could
+    merge two unrelated duplicate groups, so the default stays the raw
+    string and the driver oracle runs collision-free by construction.
     """
+    from pyspark.sql import Window
+
     base = df.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), " ").alias("toks"),
     ).select("doc", "toks", F.size("toks").alias("n"))
-
-    toks = base.select(
-        "doc", "n", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc", "n", (F.col("pos0") + 1).alias("pos"), "tok")
 
     occ = (
         base.filter(F.col("n") >= w)
@@ -408,40 +419,37 @@ def span_dedup(
         )
         .select("doc", "i", F.concat_ws(" ", F.slice("toks", F.col("i"), w)).alias("span"))
     )
+    if hash_spans:
+        occ = occ.select("doc", "i", F.xxhash64("span").alias("span"))
 
-    # one shuffle: per-span occurrence count + canonical (min doc, pos)
-    spans = occ.groupBy("span").agg(
-        F.count("*").alias("cnt"), F.min(F.struct("doc", "i")).alias("canon")
-    )
+    # one span-keyed shuffle: occurrence rank within each span group —
+    # rank 1 is the canonical (min doc, min pos) occurrence, the rest are
+    # cut. Window groups are duplicate counts per span, not hub-sized.
+    rn = F.row_number().over(Window.partitionBy("span").orderBy("doc", "i"))
     noncanon = (
-        occ.join(spans.filter(F.col("cnt") >= 2), on="span")
-        .filter(
-            (F.col("doc") != F.col("canon.doc")) | (F.col("i") != F.col("canon.i"))
-        )
+        occ.select("doc", "i", rn.alias("rn"))
+        .filter(F.col("rn") > 1)
         .select("doc", "i")
     )
     covered = noncanon.select(
         "doc", F.explode(F.sequence(F.col("i"), F.col("i") + (w - 1))).alias("pos")
     ).distinct()
+    # duplicate-scale per-doc cut set; corpus-scale docs join it once
+    cut_doc = covered.groupBy("doc").agg(F.collect_set("pos").alias("cut"))
 
-    survivors = toks.join(covered, on=["doc", "pos"], how="left_anti")
-    rebuilt = survivors.groupBy("doc").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.tok,
-            ),
-        ).alias("text_dedup"),
-        F.count("*").alias("n_kept"),
+    cut = F.coalesce(F.col("cut"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            "toks", lambda t, i: F.struct((i + 1).cast("int").alias("p"), t.alias("t"))
+        ),
+        lambda s: ~F.array_contains(cut, s.p),
     )
     return (
-        base.select("doc", "n")
-        .join(rebuilt, on="doc", how="left")
+        base.join(cut_doc, on="doc", how="left")
         .select(
             F.col("doc").alias(id_col),
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.concat_ws(" ", F.transform(kept, lambda s: s.t)).alias("text_dedup"),
             F.col("n").alias("n_tokens"),
-            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.size("cut"), F.lit(0)).alias("n_removed"),
         )
     )

@@ -79,15 +79,16 @@ def _vec_corpus(spark, n_vecs: int, dim: int = 64):
 def run_child(op: str, cpus: int, n_docs: int, n_vecs: int) -> None:
     spark = _spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    if op == "span_dedup":
+    if op in ("span_dedup", "span_dedup_hash"):
         from linkgraph.text.dedup import span_dedup
 
+        hashed = op == "span_dedup_hash"
         df = _doc_corpus(spark, n_docs).cache()
         df.count()  # pay generation + cache before timing
         # warm-up: codegen/shuffle-path on a small slice
-        span_dedup(df.limit(20000)).count()
+        span_dedup(df.limit(20000), hash_spans=hashed).count()
         t0 = time.time()
-        out = span_dedup(df)
+        out = span_dedup(df, hash_spans=hashed)
         removed = out.agg({"n_removed": "sum"}).collect()[0][0]
         wall = time.time() - t0
         units = n_docs * 40  # tokens processed

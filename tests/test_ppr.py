@@ -158,3 +158,38 @@ def test_string_vertex_ids_topk(spark):
     for v in range(N):
         if want[v] > 0:
             assert got[f"u{v}"] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_trustrank_matches_dense_personalized(spark):
+    from linkgraph.algorithms.ppr import trustrank
+
+    g = _graph(spark)
+    trusted = [0, 3]
+    res = {r.vertex: r.trust for r in
+           trustrank(g, trusted, alpha=ALPHA, fixed_iterations=ITERS).collect()}
+    # dense replay of the personalized update with uniform start
+    out = np.zeros(N)
+    for s, d in EDGES:
+        out[s] += 1.0
+    P = np.zeros((N, N))
+    for s, d in EDGES:
+        P[s, d] += 1.0 / out[s]
+    p = np.zeros(N)
+    for t in trusted:
+        p[t] = 1.0 / len(trusted)
+    r = np.full(N, 1.0 / N)
+    for _ in range(ITERS):
+        dangling = sum(r[v] for v in range(N) if out[v] == 0)
+        r = (dangling * ALPHA + (1.0 - ALPHA)) * p + ALPHA * (P.T @ r)
+    assert set(res) == set(range(N))
+    for v in range(N):
+        assert res[v] == pytest.approx(r[v], abs=1e-12)
+    # untrusted sink pages starve: vertex 4 only links out, nothing links in
+    assert res[4] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_trustrank_validation(spark):
+    from linkgraph.algorithms.ppr import trustrank
+
+    with pytest.raises(ValueError):
+        trustrank(_graph(spark), [])

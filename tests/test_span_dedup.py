@@ -112,3 +112,13 @@ def test_width_parameter(spark, w):
         ).collect()
     }
     assert got == want
+
+
+def test_hash_spans_tier_matches_exact(spark):
+    # xxhash64 key tier: same result as the exact-string tier on a corpus
+    # whose span domain is far below any collision concern
+    docs = [(i, " ".join(f"w{(i * 3 + j) % 7}" for j in range(20))) for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = sorted(map(tuple, span_dedup(df).collect()))
+    b = sorted(map(tuple, span_dedup(df, hash_spans=True).collect()))
+    assert a == b
