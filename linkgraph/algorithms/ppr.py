@@ -44,7 +44,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..plans import release_plan
 from ..structure.graph import Graph
-from .pagerank import _prepare, no_aqe
+from .pagerank import BROADCAST_STATE_MAX_V, _prepare, no_aqe
 
 
 def batched_personalized_pagerank(
@@ -104,12 +104,19 @@ def _ppr_state(
     # r0 = 1 at the seed itself (classic RWR start; total mass 1 per seed).
     state = seeds_int.select("seed", F.col("seed").alias("vertex"), F.lit(1.0).alias("r"))
 
+    # same size gate as pagerank: tiny state rides a broadcast hash join
+    # against the persisted hash-partitioned edge table (no state shuffle);
+    # large state shuffles onto the edges' partitioning. State is at most
+    # k×V rows, usually frontier-sized.
+    bcast = graph.number_of_vertices() * len(seeds) <= BROADCAST_STATE_MAX_V
+
     with no_aqe(spark):
         prev_msgs = None
         for it in range(1, iterations + 1):
-            st_src = state.select(
-                F.col("vertex").alias("src"), "seed", "r"
-            ).repartition(nparts, "src")
+            st_src = state.select(F.col("vertex").alias("src"), "seed", "r")
+            st_src = (
+                F.broadcast(st_src) if bcast else st_src.repartition(nparts, "src")
+            )
             msgs = (
                 ecoef.join(st_src, on="src")
                 .groupBy("seed", F.col("dst").alias("vertex"))
