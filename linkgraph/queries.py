@@ -2754,8 +2754,10 @@ ORACLES["emb_semdedup"] = (
     lbl AS (SELECT u AS id, least(u, min(v)) AS lbl FROM reach GROUP BY u),
     rep AS (SELECT lbl, id AS keep_id FROM (
         SELECT l.lbl, l.id, row_number() OVER (
-            PARTITION BY l.lbl ORDER BY a.dot ASC, l.id ASC) AS rn
-        FROM lbl l JOIN af a ON a.id = l.id) WHERE rn = 1)
+            PARTITION BY l.lbl
+            ORDER BY a.dot / sqrt(n.n2) ASC, l.id ASC) AS rn
+        FROM lbl l JOIN af a ON a.id = l.id JOIN n2 n ON n.id = l.id)
+        WHERE rn = 1)
     SELECT a.id AS vec_id, CAST(a.c AS BIGINT) AS cluster,
            CAST(CASE WHEN l.id IS NULL OR a.id = r.keep_id THEN 1 ELSE 0 END AS INT)
                AS keep

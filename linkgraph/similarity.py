@@ -525,6 +525,12 @@ KMEANS_SCALE = 1000
 KMEANS_LCG_A = 1103515245
 KMEANS_LCG_C = 12345
 KMEANS_LCG_M = 2**31
+# Above this many k*d centroid entries the assignment switches from a
+# Catalyst literal expression to a broadcast numpy argmax (same integer
+# semantics). SemDeDup at corpus scale needs k in the thousands (Abbas et
+# al. 2023); a k x d literal array would blow Catalyst's constant pool /
+# codegen long before the data is big.
+KMEANS_LITERAL_MAX_ENTRIES = 4096
 
 
 def _round_half_away(x: float) -> int:
@@ -562,8 +568,9 @@ def _kmeans_full(
     - centroids live as integer unit vectors at the same scale
       (`_unit_quantized`);
     - assignment = argmax of the INTEGER dot product, ties to the lower
-      cluster id — one whole-stage-codegen map over a k×d literal, no
-      shuffle, no UDF;
+      cluster id — a whole-stage-codegen map over a k×d literal when k·d
+      is small, a broadcast numpy argmax in `mapInPandas` above
+      `KMEANS_LITERAL_MAX_ENTRIES` (see `_assign_frame`; bit-identical);
     - update = one map-side-combined groupBy(cluster) with d integer sums;
       only the k×d sufficient statistics ever reach the driver (the same
       bounded-driver-state pattern as the IVF trainer and Lanczos);
@@ -605,14 +612,53 @@ def _kmeans_full(
         raise ValueError("cannot run k-means on an empty embeddings table")
     cents = [_unit_quantized(r.qv, scale) for r in seed_rows]
 
-    def assign_col(cents_now):
+    for _ in range(iterations):
+        af = _assign_frame(q, cents)
+        sums = (
+            af.groupBy("cluster")
+            .agg(*[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)])
+            .collect()
+        )
+        by_c = {r.cluster: [r[f"s{i}"] for i in range(dim)] for r in sums}
+        new = []
+        for c in range(len(cents)):
+            s = by_c.get(c)
+            uq = _unit_quantized(s, scale) if s is not None else None
+            # empty cluster, or a degenerate zero-sum: keep the old centroid
+            new.append(uq if uq is not None and any(uq) else cents[c])
+        cents = new
+
+    assign = _assign_frame(q, cents).select(
+        F.col("id").alias(id_col), "cluster", "dot_c"
+    )
+    return assign, cents, q
+
+
+def _assign_frame(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """DF[id, qv, cluster, dot_c]: argmax over the INTEGER centroid dot
+    products, ties to the lower cluster id.
+
+    Two physically different, bit-identical paths gated on k*d:
+
+    - small (<= KMEANS_LITERAL_MAX_ENTRIES entries): one whole-stage-codegen
+      map over a k x d literal array — no shuffle, no Python;
+    - large: the quantized centroid matrix is BROADCAST once and each Arrow
+      batch does one int64 matmul + argmax inside ``mapInPandas``
+      (numpy argmax returns the first maximal index = lowest cluster id,
+      exactly the literal path's tie rule). Plan size is O(1) in k, so
+      SemDeDup's corpus-scale k regime (thousands of clusters) never hits
+      Catalyst's constant pool.
+    """
+    k = len(cents)
+    dim = len(cents[0]) if k else 0
+    if k * dim <= KMEANS_LITERAL_MAX_ENTRIES:
         lit = F.array(
             *[
                 F.struct(
                     F.lit(c).cast("long").alias("c"),
                     F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("qc"),
                 )
-                for c, vec in enumerate(cents_now)
+                for c, vec in enumerate(cents)
             ]
         )
         scored = F.transform(
@@ -627,28 +673,33 @@ def _kmeans_full(
             ),
         )
         best = F.array_max(scored)
-        return (-best.nc).alias("cluster"), best.dot.alias("dot_c")
-
-    for _ in range(iterations):
-        cluster_col, _dot = assign_col(cents)
-        sums = (
-            q.select(cluster_col, "qv")
-            .groupBy("cluster")
-            .agg(*[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)])
-            .collect()
+        return q.select(
+            "id", "qv", (-best.nc).alias("cluster"), best.dot.alias("dot_c")
         )
-        by_c = {r.cluster: [r[f"s{i}"] for i in range(dim)] for r in sums}
-        new = []
-        for c in range(len(cents)):
-            s = by_c.get(c)
-            uq = _unit_quantized(s, scale) if s is not None else None
-            # empty cluster, or a degenerate zero-sum: keep the old centroid
-            new.append(uq if uq is not None and any(uq) else cents[c])
-        cents = new
 
-    cluster_col, dot_col = assign_col(cents)
-    assign = q.select(F.col("id").alias(id_col), cluster_col, dot_col)
-    return assign, cents, q
+    cmat = np.asarray(cents, dtype=np.int64)  # k x d, broadcast once
+    bc = q.sparkSession.sparkContext.broadcast(cmat)
+    id_type = dict(q.dtypes)["id"]
+    schema = f"id {id_type}, qv array<bigint>, cluster bigint, dot_c bigint"
+
+    def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)  # n x d
+            dots = qmat @ mat.T  # n x k int64
+            cl = np.argmax(dots, axis=1)  # first max = lowest cluster id
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "cluster": cl.astype(np.int64),
+                    "dot_c": dots[np.arange(len(cl)), cl],
+                }
+            )
+
+    return q.select("id", "qv").mapInPandas(assign_batches, schema)
 
 
 def kmeans_embeddings(
@@ -757,12 +808,23 @@ def semantic_dedup(
         lab = merged
         if changed == 0:
             break
+    # lab is localCheckpoint-ed — the pair graph is no longer needed
+    pairs.unpersist()
+    sym.unpersist()
 
     # keep rule: per duplicate group, the member farthest from its centroid
-    # (min integer dot to centroid), ties to the smaller id
-    member = a.select("id", "dot_c").join(lab, on="id")
+    # = MIN COSINE to the assigned centroid (the paper's rule). Within a
+    # group every member shares one cluster, so the centroid norm is a
+    # constant positive factor and cos ranks as dot_c / sqrt(|v|²); both
+    # operands are exact integers, so the double is correctly rounded and
+    # bit-identical cross-engine. (Members of a pair have dot > 0, hence
+    # n2 > 0 — no division by zero.) Ties to the smaller id.
+    member = a.select(
+        "id",
+        (F.col("dot_c") / F.sqrt(F.col("n2").cast("double"))).alias("cos_c"),
+    ).join(lab, on="id")
     rep = member.groupBy("lbl").agg(
-        F.min(F.struct(F.col("dot_c"), F.col("id"))).alias("r")
+        F.min(F.struct(F.col("cos_c"), F.col("id"))).alias("r")
     ).select(F.col("lbl"), F.col("r.id").alias("keep_id"))
     dup_keep = lab.join(rep, on="lbl").select(
         "id", (F.col("id") == F.col("keep_id")).alias("keep")
@@ -775,7 +837,11 @@ def semantic_dedup(
             "cluster",
             F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
         )
+        .localCheckpoint(eager=True)
     )
+    # output is materialized — release every cached intermediate
+    a.unpersist()
+    q.unpersist()
     return out
 
 

@@ -1,6 +1,8 @@
-"""Mini-driver: run every queries() entry and its DuckDB oracle at sf0.001
-and compare row multisets exactly (the same gate the real driver applies at
-sf0.01, minus the hashing)."""
+"""Mini-driver: run every queries() entry and its DuckDB oracle and compare
+row multisets exactly (the same gate the real driver applies at sf0.01,
+minus the hashing). Default scale is sf0.001; set LINKGRAPH_CONTRACT_SF01=1
+to ALSO run the whole gate at sf0.01 — the driver's own scale — before a
+round ends."""
 
 import math
 import os
@@ -10,18 +12,26 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001"]
+if os.environ.get("LINKGRAPH_CONTRACT_SF01"):
+    SF_DIRS.append("/root/testdata/sf0.01")
+SF_DIR = SF_DIRS[0]  # rows-only + smoke tests run at the small scale
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
+@pytest.fixture(scope="module", params=SF_DIRS, ids=lambda d: d.rsplit("/", 1)[-1])
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def ddb():
+def ddb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
+        p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
@@ -63,13 +73,13 @@ def test_rows_only_queries_run(spark, name):
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, ddb, name):
+def test_query_matches_oracle(spark, ddb, sf_dir, name):
     from linkgraph.queries import NO_ORACLE
 
     if name in NO_ORACLE:
         pytest.skip("rows-only query (randomized internals); covered elsewhere")
     fn = entrymod.queries()[name]
-    sdf = fn(spark, SF_DIR)
+    sdf = fn(spark, sf_dir)
     cols = sorted(sdf.columns)
     spark_rows = _norm(sdf.collect(), sdf.columns)
     rel = ddb.sql(entrymod.oracle_sql()[name])

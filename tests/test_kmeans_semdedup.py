@@ -122,11 +122,15 @@ def test_semdedup_groups_and_keep_rule(spark):
     assert sum(keep for _, keep in trio) == 1  # exactly one representative
     # non-duplicated vectors always kept
     assert out[3][1] and out[10][1] and out[11][1]
-    # keep rule: farthest from centroid (min integer dot), ties to min id —
-    # replay to find which of the triple that is
+    # keep rule: farthest from centroid (min COSINE to the assigned
+    # centroid), ties to min id — replay to find which of the triple that is
     vecs = {i: v for i, v in rows}
     assign, _ = _py_kmeans(vecs, 2, 2)
-    far = min((assign[i][1], i) for i in (0, 1, 2))[1]
+
+    def n2(v):
+        return sum(q * q for q in (_round_half_away(x * KMEANS_SCALE) for x in v))
+
+    far = min((assign[i][1] / math.sqrt(n2(vecs[i])), i) for i in (0, 1, 2))[1]
     kept = next(i for i in (0, 1, 2) if out[i][1])
     assert kept == far
 
@@ -160,6 +164,56 @@ def test_k_exceeds_corpus(spark):
     out = kmeans_embeddings(df, k=5, iterations=2).collect()
     assert len(out) == 3
     assert len({r.cluster for r in out}) <= 3
+
+
+def test_large_k_fallback_matches_literal(spark, monkeypatch):
+    """Above KMEANS_LITERAL_MAX_ENTRIES the assignment runs as a broadcast
+    numpy argmax inside mapInPandas; it must be bit-identical to the
+    k x d literal-expression path."""
+    import linkgraph.similarity as sim
+
+    dim, k, iters = 256, 64, 2  # k*d = 16384 > 4096 -> fallback engages
+    vecs = _lcg_vecs(80, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    fallback = sorted(map(tuple, kmeans_embeddings(df, k=k, iterations=iters).collect()))
+
+    # the fallback plan must actually be the Arrow/pandas path, not literals
+    q = df.selectExpr(
+        "vec_id as id",
+        f"transform(embedding, x -> cast(round(cast(x as double) * {KMEANS_SCALE}) as bigint)) as qv",
+    )
+    cents = [[1] * dim for _ in range(k)]
+    plan = sim._assign_frame(q, cents)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+
+    monkeypatch.setattr(sim, "KMEANS_LITERAL_MAX_ENTRIES", 10**9)
+    literal = sorted(map(tuple, kmeans_embeddings(df, k=k, iterations=iters).collect()))
+    assert fallback == literal
+    lit_plan = sim._assign_frame(q, cents)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in lit_plan
+
+
+def test_corpus_scale_k(spark):
+    """k = 2048, d = 256: the SemDeDup corpus-scale regime. The literal path
+    would inline ~half a million longs into one Catalyst expression; the
+    broadcast-argmax path keeps the plan O(1) in k and completes."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n, dim, k = 4096, 256, 2048
+    mat = rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_embeddings(df, k=k, iterations=1).collect()
+    assert len(out) == n
+    cl = {r.cluster for r in out}
+    assert all(0 <= c < k for c in cl)
+    assert len(cl) > k // 4  # random unit vectors spread across many cells
 
 
 def test_prototypicality_scores(spark):
