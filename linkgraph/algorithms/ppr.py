@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans import release_plan
 from ..structure.graph import Graph
 from .pagerank import BROADCAST_STATE_MAX_V, _prepare, no_aqe
 
@@ -99,6 +98,15 @@ def _ppr_state(
         seeds_int = internal
     else:
         seeds_int = seed_df.select(F.col("__ext__").cast("long").alias("seed"))
+        # same membership guard as the renumbered branch: a non-numeric or
+        # out-of-universe seed must fail loudly, not yield a degenerate
+        # self-mass-1 vector (k-row action, setup only)
+        V = graph.number_of_vertices()
+        bad = seeds_int.filter(
+            F.col("seed").isNull() | (F.col("seed") < 0) | (F.col("seed") >= V)
+        ).count()
+        if bad:
+            raise ValueError("ppr seed vertex not in graph")
     seeds_int = F.broadcast(seeds_int.select("seed"))
 
     # r0 = 1 at the seed itself (classic RWR start; total mass 1 per seed).
@@ -111,7 +119,12 @@ def _ppr_state(
     bcast = graph.number_of_vertices() * len(seeds) <= BROADCAST_STATE_MAX_V
 
     with no_aqe(spark):
-        prev_msgs = None
+        # every msgs table persisted since the last EAGER checkpoint is part
+        # of the pending lazy plan (each is read twice: propagate + restart
+        # sum); they are freed together once a truncation materializes the
+        # successor state. (release_plan only frees checkpointed frames —
+        # persisted DataFrames need a real unpersist.)
+        live_msgs: list[DataFrame] = []
         for it in range(1, iterations + 1):
             st_src = state.select(F.col("vertex").alias("src"), "seed", "r")
             st_src = (
@@ -143,15 +156,14 @@ def _ppr_state(
                 .groupBy("seed", "vertex")
                 .agg(F.sum("r").alias("r"))
             )
+            live_msgs.append(msgs)
             if it % truncate_every == 0 or it == iterations:
                 new = new.localCheckpoint(eager=True)
-                release_plan(prev_msgs)
-                release_plan(msgs)
-                prev_msgs = None
+                for m in live_msgs:
+                    m.unpersist()
+                live_msgs.clear()
             else:
                 new = new.localCheckpoint(eager=False)
-                release_plan(prev_msgs)
-                prev_msgs = msgs
             state = new
 
     return state

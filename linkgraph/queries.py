@@ -1374,7 +1374,14 @@ QUERIES["clustering_metrics"] = q_clustering_metrics
 # a test-harness channel (V rows on the fixed 400-vertex supply graph), not an
 # engine code path.
 
-SIDECAR_DIR = "/tmp/linkgraph_sidecar"
+# Process-unique: queries() writes the sidecar and oracle_sql() embeds the
+# SAME path (both resolve in the importing process), so a parallel driver
+# run or a stale file from a previous round can never feed this run's
+# oracle. (The per-run sf_dir would be the other natural home, but the test
+# data tree is read-only.)
+import tempfile as _tempfile
+
+SIDECAR_DIR = _tempfile.mkdtemp(prefix="linkgraph_sidecar_")
 
 
 def _community_result(spark, g: Graph, labels, name: str, label_col: str,

@@ -27,11 +27,12 @@ Semantics
   ``dw`` defaults to +1 per row when no weight column is named.
 - self-loops follow the graph's convention (stored once, kept).
 - renumbered graphs take the delta in EXTERNAL ids; vertices never seen
-  before are appended to the number map with ids ``V, V+1, ...`` in sorted
-  key order. (The construction-time degree-descending id order is an
-  optimization, not a semantic invariant — documented here because the
-  appended ids do not re-sort the existing map, exactly so that previous
-  results keyed by external id remain joinable.)
+  before are appended to the number map with ids ``V, V+1, ...`` in
+  deterministic (hash-bucket, key) order — see ``_extend_map``. (The
+  construction-time degree-descending id order is an optimization, not a
+  semantic invariant — documented here because the appended ids do not
+  re-sort the existing map, exactly so that previous results keyed by
+  external id remain joinable.)
 
 100-TB shape: one union + one map-side-combined hash aggregation over
 (src, dst) — the same single-shuffle shape as construction-time dedup
@@ -132,11 +133,24 @@ def apply_edge_delta(
     )
 
 
+_EXTEND_BUCKETS = 1024
+
+
 def _extend_map(graph: Graph, d: DataFrame) -> NumberMap:
-    """Append delta-only external keys to the number map as ids V, V+1, ...
-    in sorted key order. Delta-sized work only: the existing map is touched
-    by one left_anti join; the global sort window runs over the NEW keys
-    (a recrawl delta, ~vertices(delta) rows), never over V."""
+    """Append delta-only external keys to the number map as dense ids
+    V, V+1, ... in deterministic (hash-bucket, key) order. Delta-sized work
+    only: the existing map is touched by one left_anti join.
+
+    Id assignment is the same two-level scheme as construction-time
+    renumbering (renumber.py's degree-histogram): a tiny per-bucket count
+    histogram gives cumulative offsets (broadcast), and a window
+    PARTITIONED BY bucket assigns within-bucket ranks — so no single task
+    ever sorts the whole delta. A fresh-crawl batch with billions of
+    never-seen urls spreads across ``_EXTEND_BUCKETS`` tasks; the only
+    single-task step is the 1024-row offset scan. The exact append order is
+    an arbitrary-but-deterministic convention (xxhash64 is fixed), not a
+    semantic invariant — downstream results are always unrenumbered back to
+    external ids."""
     nmap = graph.nmap
     key = nmap.key_cols[0]
     V = graph.number_of_vertices()
@@ -146,12 +160,30 @@ def _extend_map(graph: Graph, d: DataFrame) -> NumberMap:
         .unionByName(d.select(F.col("dst").alias("k")))
         .distinct()
         .join(seen, on="k", how="left_anti")
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col("k")), F.lit(_EXTEND_BUCKETS))
+        )
     )
-    w = Window.orderBy("k")
-    appended = new_keys.select(
-        (F.lit(V) + F.row_number().over(w) - F.lit(1)).cast("long").alias("vid"),
-        F.col("k").alias(key),
-        F.lit(0).alias("out_degree"),
+    new_keys = new_keys.persist()
+    # bounded driver state: <= _EXTEND_BUCKETS histogram rows -> cumulative
+    # offsets, shipped back as a broadcast join (no SinglePartition exchange
+    # anywhere in the delta path; tests pin this on the physical plan)
+    hist = new_keys.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()
+    base, rows = 0, []
+    for r in sorted(hist, key=lambda r: r.bkt):
+        rows.append((int(r.bkt), base))
+        base += r.cnt
+    spark = new_keys.sparkSession
+    offsets = spark.createDataFrame(rows, "bkt long, base long")
+    w_bkt = Window.partitionBy("bkt").orderBy("k")
+    appended = (
+        new_keys.withColumn("rk", F.row_number().over(w_bkt) - F.lit(1))
+        .join(F.broadcast(offsets), on="bkt")
+        .select(
+            (F.lit(V) + F.col("base") + F.col("rk")).cast("long").alias("vid"),
+            F.col("k").alias(key),
+            F.lit(0).alias("out_degree"),
+        )
     )
     return NumberMap(
         map=nmap.map.unionByName(appended), key_cols=list(nmap.key_cols)

@@ -405,6 +405,9 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
+    if w < 2:
+        raise ValueError("span window w must be >= 2 tokens")
+
     base = df.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), " ").alias("toks"),

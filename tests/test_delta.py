@@ -102,6 +102,43 @@ def test_renumbered_extends_map_for_new_vertices(spark):
     assert got == {("b", "c"), ("c", "a"), ("c", "zz"), ("zz", "a")}
 
 
+def test_extend_map_no_single_partition_exchange(spark):
+    """Id assignment for delta-new vertices is the two-level bucket scheme:
+    the physical plan must contain a bucket-partitioned window and NO
+    SinglePartition exchange (a fresh-crawl delta with billions of new urls
+    must never funnel through one task)."""
+    from linkgraph.structure.delta import _extend_map
+    from linkgraph.structure.renumber import NumberMap
+
+    nmap = NumberMap(
+        map=spark.createDataFrame(
+            [(0, "a", 1), (1, "b", 1)], "vid LONG, key STRING, out_degree LONG"
+        ),
+        key_cols=["key"],
+    )
+    g = Graph(
+        edges=spark.createDataFrame([(0, 1)], "src LONG, dst LONG"),
+        directed=True,
+        renumbered=True,
+        nmap=nmap,
+    )
+    d = spark.createDataFrame(
+        [(f"n{i:03d}", "a", 1.0) for i in range(50)], "src STRING, dst STRING, dw DOUBLE"
+    )
+    ext = _extend_map(g, d)
+    plan = ext.map._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "windowspecdefinition(bkt" in plan, plan
+
+    # dense, stable, deterministic under any input partitioning
+    got = {r.key: r.vid for r in ext.map.collect()}
+    assert got["a"] == 0 and got["b"] == 1
+    assert sorted(v for k, v in got.items() if k.startswith("n")) == list(range(2, 52))
+    d7 = d.repartition(7)
+    got7 = {r.key: r.vid for r in _extend_map(g, d7).map.collect()}
+    assert got7 == got
+
+
 def test_multigraph_raises(spark):
     g = Graph.from_edgelist(
         _edge_df(spark, [(0, 1), (0, 1)]), directed=True, renumber=False, multi=True

@@ -135,6 +135,11 @@ def test_argument_validation(spark):
     g2 = _graph(spark, renumber=True)
     with pytest.raises(ValueError):
         batched_personalized_pagerank(g2, [99])
+    # non-renumbered graphs reject out-of-universe seeds too
+    with pytest.raises(ValueError):
+        batched_personalized_pagerank(g, [99])
+    with pytest.raises(ValueError):
+        batched_personalized_pagerank(g, [-1])
 
 
 def test_string_vertex_ids_topk(spark):

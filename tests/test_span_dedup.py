@@ -114,6 +114,13 @@ def test_width_parameter(spark, w):
     assert got == want
 
 
+def test_w_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (0, -3, 1):
+        with pytest.raises(ValueError):
+            span_dedup(df, w=bad)
+
+
 def test_hash_spans_tier_matches_exact(spark):
     # xxhash64 key tier: same result as the exact-string tier on a corpus
     # whose span domain is far below any collision concern
