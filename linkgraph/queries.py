@@ -1632,8 +1632,10 @@ def q_betweenness(spark, sf_dir):
     )
 
 
-def _betweenness_oracle() -> str:
-    L = BC_LEVELS
+def _brandes_scaffold(L: int) -> list:
+    """Shared unrolled-Brandes CTE scaffold (BFS dist, path counts sig,
+    reverse dependencies del0..delL) used by BOTH the vertex and the edge
+    betweenness oracles."""
     parts = [
         f"WITH raw AS ({SUPPLY_EDGES_SQL}),",
         "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
@@ -1683,6 +1685,12 @@ def _betweenness_oracle() -> str:
             f"GROUP BY dw.s, e.src) c ON c.s = dv.s AND c.v = dv.v "
             f"WHERE dv.d = {i}),"
         )
+    return parts
+
+
+def _betweenness_oracle() -> str:
+    L = BC_LEVELS
+    parts = _brandes_scaffold(L)
     parts.append(
         "alldel AS ("
         + " UNION ALL ".join(f"SELECT * FROM del{i}" for i in range(L + 1))
@@ -2864,3 +2872,225 @@ def _trustrank_oracle() -> str:
 
 ORACLES["trustrank"] = _trustrank_oracle()
 QUERIES["trustrank"] = q_trustrank
+
+
+# ---------------------------------------------------------------------------
+# edge betweenness — same unrolled Brandes oracle as the green `betweenness`
+# row, keyed by edge (reference centrality/betweenness_centrality.py:188-288)
+# ---------------------------------------------------------------------------
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """Sampled-source edge Brandes (algorithms/betweenness.py
+    edge_betweenness_centrality) with the same deterministic source list as
+    the vertex row; per-edge dependencies are exactly the inner terms of the
+    vertex oracle's reverse pass, so the SQL replay shares its scaffold."""
+    from .algorithms.betweenness import edge_betweenness_centrality
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    sources = [r.vertex for r in g.vertices().collect() if r.vertex % BC_SOURCE_MOD == 0]
+    return edge_betweenness_centrality(g, k=sorted(sources)).select(
+        "src",
+        "dst",
+        F.round(F.col("betweenness_centrality") * 1e5).cast("long").alias("ebc_e5"),
+    )
+
+
+def _edge_betweenness_oracle() -> str:
+    L = BC_LEVELS
+    parts = _brandes_scaffold(L)
+    # per-(source, DAG-edge) dependency: for u at level i preceding w at
+    # level i+1, c = sig(u)/sig(w) * (1 + delta(w)) — the exact inner term
+    # the vertex oracle groups by u; here it stays keyed by the edge.
+    for i in range(L):
+        parts.append(
+            f"ec{i} AS MATERIALIZED (SELECT dw.s, e.src AS u, dw.v AS w, "
+            f"sv.sig / sw.sig * (1 + dw.delta) AS c "
+            f"FROM del{i + 1} dw "
+            f"JOIN sig sw ON sw.s = dw.s AND sw.v = dw.v "
+            f"JOIN sym e ON e.dst = dw.v "
+            f"JOIN dist dp ON dp.s = dw.s AND dp.v = e.src AND dp.d = {i} "
+            f"JOIN sig sv ON sv.s = dw.s AND sv.v = e.src),"
+        )
+    parts.append(
+        "allec AS ("
+        + " UNION ALL ".join(f"SELECT * FROM ec{i}" for i in range(L))
+        + "),"
+    )
+    parts.append(
+        "ebc AS (SELECT least(u, w) AS src, greatest(u, w) AS dst, sum(c) AS bc"
+        " FROM allec GROUP BY 1, 2),"
+        "base AS (SELECT src, dst FROM sym WHERE src <= dst),"
+        "nn AS (SELECT count(*) AS n FROM verts),"
+        f"kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM verts"
+        f" WHERE v % {BC_SOURCE_MOD} = 0),"
+        # same loud truncation guard as the vertex oracle
+        f"chk AS (SELECT count(*) AS extra FROM dist p "
+        f"JOIN sym e ON e.src = p.v AND p.d = {L} "
+        f"LEFT JOIN dist x ON x.s = p.s AND x.v = e.dst WHERE x.v IS NULL) "
+        # engine scale for undirected+normalized+sampled edge variant:
+        # 1/(n(n-1)) * n/k  (NetworkX _rescale_e)
+        "SELECT b.src, b.dst, "
+        "CASE WHEN (SELECT extra FROM chk) > 0 "
+        "THEN CAST(error('BC oracle truncated: raise BC_LEVELS') AS BIGINT) "
+        "ELSE CAST(round(coalesce(e.bc, 0) / (nn.n * (nn.n - 1)) * (nn.n / kk.k)"
+        " * 100000) AS BIGINT) END AS ebc_e5 "
+        "FROM base b CROSS JOIN nn CROSS JOIN kk "
+        "LEFT JOIN ebc e ON e.src = b.src AND e.dst = b.dst"
+    )
+    return "\n".join(parts)
+
+
+QUERIES["edge_betweenness"] = q_edge_betweenness
+ORACLES["edge_betweenness"] = _edge_betweenness_oracle()
+
+
+# ---------------------------------------------------------------------------
+# hungarian / linear assignment — integer costs make the ε-auction EXACTLY
+# optimal (ε < 1/(n+1), Bertsekas bound), so the oracle brute-forces the
+# optimum total with a bitmask DP over the fixed 8x10 bipartite instance
+# (reference linear_assignment/lap.py:18-133)
+# ---------------------------------------------------------------------------
+
+LAP_W, LAP_J = 8, 10  # workers 0..7, jobs 100..109 (complete bipartite)
+LAP_COST = "1 + ({w} * 41 + {j} * 17) % 59"  # deterministic integer costs
+
+
+def q_hungarian(spark, sf_dir):
+    """Distributed auction LAP (algorithms/assignment.py hungarian) on a
+    complete bipartite instance built from the nation table; emits the
+    matching summary (size, distinct jobs, exact total cost) that the
+    DuckDB bitmask-DP oracle recomputes from scratch."""
+    from .algorithms.assignment import hungarian
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    w = nat.filter(F.col("k") < LAP_W).select(F.col("k").alias("w"))
+    j = nat.filter(F.col("k") < LAP_J).select(F.col("k").alias("jk"))
+    cost = F.expr(LAP_COST.format(w="w", j="jk")).cast("double")
+    pairs = w.crossJoin(j).select(
+        F.col("w").alias("src"),
+        (F.lit(100) + F.col("jk")).alias("dst"),
+        cost.alias("weight"),
+    )
+    g = Graph.from_edgelist(pairs, weight="weight", directed=True, renumber=False)
+    total, asg = hungarian(g, list(range(LAP_W)))
+    n_matched = asg.count()
+    n_jobs = asg.select("assignment").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_matched), int(n_jobs), int(round(total)))],
+        "n_matched LONG, n_jobs LONG, total_cost LONG",
+    )
+
+
+ORACLES["hungarian"] = f"""
+    WITH RECURSIVE ws AS (SELECT CAST(n_nationkey AS BIGINT) AS w FROM nation
+                          WHERE n_nationkey < {LAP_W}),
+    js AS (SELECT CAST(n_nationkey AS BIGINT) AS jk FROM nation
+           WHERE n_nationkey < {LAP_J}),
+    pairs AS (SELECT ws.w, js.jk, {LAP_COST.format(w="ws.w", j="js.jk")} AS cost
+              FROM ws, js),
+    -- bitmask DP over workers 0..{LAP_W - 1} in id order: state = (next
+    -- worker, used-jobs mask, running total); optimum = min total at step n
+    rec(step, mask, total) AS (
+        SELECT 0, 0, 0
+        UNION ALL
+        SELECT r.step + 1, r.mask | (1 << CAST(p.jk AS INT)), r.total + p.cost
+        FROM rec r JOIN pairs p
+          ON p.w = r.step AND (r.mask & (1 << CAST(p.jk AS INT))) = 0
+        WHERE r.step < {LAP_W})
+    SELECT CAST({LAP_W} AS BIGINT) AS n_matched,
+           CAST({LAP_W} AS BIGINT) AS n_jobs,
+           CAST(min(total) AS BIGINT) AS total_cost
+    FROM rec WHERE step = {LAP_W}
+"""
+QUERIES["hungarian"] = q_hungarian
+
+
+# ---------------------------------------------------------------------------
+# Force Atlas 2 — ONE seeded iteration with exact repulsion and explicit LCG
+# initial positions is fully SQL-replicable (every force is a fixed double
+# expression; e3 quantization absorbs summation-order ulps), so the oracle
+# replays the whole update instead of settling for bounds-only invariants
+# (reference layout/force_atlas2.py:18-149)
+# ---------------------------------------------------------------------------
+
+FA2_POS_X = "((v * 1103515245 + 12345) % 100000) / 50000.0 - 1.0"
+FA2_POS_Y = "((v * 69069 + 1) % 100000) / 50000.0 - 1.0"
+
+
+def q_force_atlas2(spark, sf_dir):
+    """One FA2 iteration (layout.py force_atlas2) on the supply graph:
+    LCG-seeded positions, exact O(V^2) repulsion, strong gravity, no
+    outbound-attraction scaling — every per-vertex displacement replayed
+    bit-for-bit(-ish; e3 quantized) by the DuckDB oracle."""
+    from .layout import force_atlas2
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    pos0 = g.vertices().select(
+        "vertex",
+        F.expr(FA2_POS_X.replace("v", "vertex")).alias("x"),
+        F.expr(FA2_POS_Y.replace("v", "vertex")).alias("y"),
+    )
+    out = force_atlas2(
+        g,
+        max_iter=1,
+        pos_list=pos0,
+        outbound_attraction_distribution=False,
+        barnes_hut_optimize=False,
+        strong_gravity_mode=True,
+        gravity=1.0,
+        scaling_ratio=2.0,
+        jitter_tolerance=1.0,
+    )
+    return out.select(
+        "vertex",
+        F.round(F.col("x") * 1e3).cast("long").alias("x_e3"),
+        F.round(F.col("y") * 1e3).cast("long").alias("y_e3"),
+    )
+
+
+ORACLES["force_atlas2"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+    univ AS (SELECT unnest(generate_series(0,
+        (SELECT max(greatest(src, dst)) FROM raw))) AS v),
+    deg AS (SELECT src AS v, count(*) AS dg FROM sym GROUP BY src),
+    pos AS MATERIALIZED (SELECT u.v,
+        {FA2_POS_X.replace("v", "u.v")} AS x,
+        {FA2_POS_Y.replace("v", "u.v")} AS y,
+        coalesce(d.dg, 0) + 1.0 AS m
+        FROM univ u LEFT JOIN deg d ON d.v = u.v),
+    att AS (SELECT e.src AS v, sum(pd.x - ps.x) AS ax, sum(pd.y - ps.y) AS ay
+            FROM sym e JOIN pos ps ON ps.v = e.src JOIN pos pd ON pd.v = e.dst
+            GROUP BY e.src),
+    rep AS (SELECT a.v,
+        sum(2.0 * a.m * b.m /
+            power(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + 1e-9, 2)
+            * (a.x - b.x)) AS rx,
+        sum(2.0 * a.m * b.m /
+            power(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + 1e-9, 2)
+            * (a.y - b.y)) AS ry
+        FROM pos a JOIN pos b ON a.v <> b.v GROUP BY a.v),
+    force AS MATERIALIZED (SELECT p.v, p.m, p.x, p.y,
+        coalesce(a.ax, 0) + coalesce(r.rx, 0)
+            - 1.0 * p.m * p.x / (sqrt(p.x*p.x + p.y*p.y) + 1e-9) AS dx,
+        coalesce(a.ay, 0) + coalesce(r.ry, 0)
+            - 1.0 * p.m * p.y / (sqrt(p.x*p.x + p.y*p.y) + 1e-9) AS dy
+        FROM pos p LEFT JOIN att a ON a.v = p.v LEFT JOIN rep r ON r.v = p.v),
+    sw AS (SELECT sum(m * sqrt(dx*dx + dy*dy)) AS swing,
+                  sum(m * sqrt(dx*dx + dy*dy) / 2.0) AS traction FROM force),
+    sp AS (SELECT least(1.0 * 1.0 * traction / (1.0 + swing), 1.5) AS speed,
+                  swing, traction FROM sw),
+    spe AS (SELECT speed / (1.0 + sqrt(speed * swing / greatest(traction, 1e-9)))
+            AS se FROM sp)
+    SELECT f.v AS vertex,
+           CAST(round((f.x + (SELECT se FROM spe) * f.dx
+                 / (1.0 + sqrt(f.dx*f.dx + f.dy*f.dy))) * 1000) AS BIGINT) AS x_e3,
+           CAST(round((f.y + (SELECT se FROM spe) * f.dy
+                 / (1.0 + sqrt(f.dx*f.dx + f.dy*f.dy))) * 1000) AS BIGINT) AS y_e3
+    FROM force f
+"""
+QUERIES["force_atlas2"] = q_force_atlas2

@@ -54,19 +54,30 @@ def find_bicliques(
     min_features: int = 1,
     min_machines: int = 10,
     batch_size: int = 512,
+    max_features: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Find up to ``k`` maximal bicliques in a bipartite edge list.
 
     Returns (B, S) per the reference contract (see module docstring).
     ``find_bicliques.last_driver_rounds`` records the number of driver
     actions of the most recent call (scale evidence: O(#tiers), not
-    O(#features)).
+    O(#features)); ``last_summary_rows`` the size of the one summary
+    collect.
+
+    ``max_features`` bounds the driver-side summary when ``max_iter=-1``
+    (the reference's unbounded visit loop): only the ``max_features``
+    highest-degree features are visited and a loud warning is emitted —
+    the proto contract's top-k bicliques come from the top of the
+    degree-descending order anyway, so a bounded prefix is the honest
+    distributed rendering of "visit until k found".
     """
     for col in ("src", "dst", "flag"):
         if col not in df.columns:
             raise NameError(f"{col} column not found")
     if support > 1.0 or support < 0.1:
         raise NameError("support must be between 0.1 and 1.0")
+    if max_features < 1:
+        raise ValueError("max_features must be >= 1")
 
     rounds = 0
     spark = df.sparkSession
@@ -86,7 +97,27 @@ def find_bicliques(
         )
         .orderBy(F.desc("count"), F.asc("dst"))
     )
-    f_rows = feat.limit(max_iter).collect() if max_iter != -1 else feat.collect()
+    if max_iter != -1:
+        lim = max_iter
+        f_rows = feat.limit(lim).collect()
+    else:
+        # bounded driver state even on "visit everything": collect one row
+        # past the cap to DETECT truncation, warn loudly, keep the prefix
+        lim = max_features
+        f_rows = feat.limit(lim + 1).collect()
+        if len(f_rows) > lim:
+            import warnings
+
+            warnings.warn(
+                f"find_bicliques(max_iter=-1): feature count exceeds "
+                f"max_features={max_features}; visiting only the "
+                f"{max_features} highest-degree features. Raise "
+                f"max_features or set max_iter explicitly.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            f_rows = f_rows[:lim]
+    find_bicliques.last_summary_rows = len(f_rows)
     rounds += 1
 
     # driver replay of the visit loop: consecutive identical machine sets
@@ -189,3 +220,4 @@ def find_bicliques(
 
 
 find_bicliques.last_driver_rounds = 0
+find_bicliques.last_summary_rows = 0

@@ -92,3 +92,31 @@ def test_batch_matches_visit_order_semantics(spark):
     big = find_bicliques(df, batch_size=10_000, **kw)
     for a, b in zip(small, big):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_max_features_bounds_driver_summary(spark):
+    """max_iter=-1 over 1e5 features must NOT collect 1e5 summary rows:
+    the cap keeps driver state bounded and warns loudly."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(100_000)
+        .select(
+            (F.col("id") % 50).alias("src"),
+            (F.lit(1_000) + F.col("id")).alias("dst"),
+            F.lit(0).alias("flag"),
+        )
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        B, S = find_bicliques(
+            df, k=-1, support=1.0, min_features=0, min_machines=10,
+            max_features=500, batch_size=512,
+        )
+        assert any("max_features" in str(w.message) for w in caught)
+    assert find_bicliques.last_summary_rows <= 500
+    assert find_bicliques.last_driver_rounds <= 1 + 2 + 1
+    with pytest.raises(ValueError):
+        find_bicliques(df, k=1, max_features=0)
