@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager
-from ..plans import release_plan
+from ..plans import release_plan, truncate_plan
 from ..structure.graph import Graph
 from ..structure.symmetrize import symmetrize_edges
 from .pagerank import BROADCAST_STATE_MAX_V, no_aqe, pick_partitions
@@ -217,6 +217,13 @@ def incremental_wcc(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # Pin the delta-scale quotient edge list NOW. Its plan embeds the
+    # caller's old_labels lineage (often a full WCC loop) plus the extended
+    # number map; the quotient renumber + superstep loop below would
+    # otherwise compose that subtree several times per round — measured as
+    # minutes of driver-side Catalyst analysis on a toy graph when the
+    # caller passes a lazy labels frame. Materializing here is delta-sized.
+    q_edges = truncate_plan(q_edges, eager=True)
     base = (
         graph.vertices()
         .join(ol.select("vertex", "labels"), on="vertex", how="left")

@@ -37,6 +37,17 @@ PR_ITERS = 15
 WCC_ORACLE_ROUNDS = 24
 LPA_ITERS = 4
 
+# Sidecar directory for oracle inputs that a query materializes itself
+# (community labelings, IVF candidate lists, media manifests). Process-
+# unique: queries() writes the sidecar and oracle_sql() embeds the SAME
+# path (both resolve in the importing process), so a parallel driver run
+# or a stale file from a previous round can never feed this run's oracle.
+# (The per-run sf_dir would be the other natural home, but the test data
+# tree is read-only.)
+import tempfile as _tempfile
+
+SIDECAR_DIR = _tempfile.mkdtemp(prefix="linkgraph_sidecar_")
+
 # ---------------------------------------------------------------------------
 # shared edge derivations (MUST stay in sync with the SQL fragments below)
 # ---------------------------------------------------------------------------
@@ -1302,13 +1313,13 @@ QUERIES.update(
         "media_image_stats": q_media_image_stats,
     }
 )
-ORACLES["media_image_stats"] = """
+ORACLES["media_image_stats"] = f"""
     SELECT CAST(media_id AS BIGINT) AS media_id,
            CAST(width AS INTEGER) AS width,
            CAST(height AS INTEGER) AS height,
            (200 * sum_r + width * height) // (2 * width * height) AS mean_r_e2,
            CAST(chk AS BIGINT) AS chk
-    FROM read_parquet('/tmp/linkgraph_sidecar/media_manifest.parquet')
+    FROM read_parquet('{SIDECAR_DIR}/media_manifest.parquet')
 """
 
 
@@ -1374,14 +1385,8 @@ QUERIES["clustering_metrics"] = q_clustering_metrics
 # a test-harness channel (V rows on the fixed 400-vertex supply graph), not an
 # engine code path.
 
-# Process-unique: queries() writes the sidecar and oracle_sql() embeds the
-# SAME path (both resolve in the importing process), so a parallel driver
-# run or a stale file from a previous round can never feed this run's
-# oracle. (The per-run sf_dir would be the other natural home, but the test
-# data tree is read-only.)
-import tempfile as _tempfile
-
-SIDECAR_DIR = _tempfile.mkdtemp(prefix="linkgraph_sidecar_")
+# SIDECAR_DIR (oracle-input sidecar protocol) is defined near the top of
+# this module so that module-level ORACLES f-strings can embed it.
 
 
 def _community_result(spark, g: Graph, labels, name: str, label_col: str,

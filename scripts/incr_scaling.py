@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling + cold-vs-incremental speedup for the incremental
+family (apply_edge_delta, warm-restart PageRank, incremental_wcc) —
+VERDICT r3 item 8.
+
+Same protocol as scripts/algo_scaling.py / scaling_bench.py: no real
+cluster exists in this sandbox, so the north rule's two-cluster-size
+criterion is evidenced by running the IDENTICAL job at local[N] and
+local[4N] on the IDENTICAL deterministic RMAT input, one fresh JVM per
+level, shuffle partitions held CONSTANT across levels.
+
+Scenario per level (the recrawl cycle the incremental family exists for):
+
+1. build graph g0 from RMAT(scale) (renumbered — the production path),
+   converge PageRank + WCC on it ("previous cycle" state);
+2. a deterministic additions-only delta arrives: RMAT edges from a second
+   seed, a fraction of whose endpoints are NEVER-SEEN vertices (ids above
+   2^scale) — this exercises _extend_map's two-level id assignment;
+3. COLD path: rebuild from the unioned edge list, PageRank from scratch to
+   tol + WCC from scratch;
+4. INCREMENTAL path: apply_edge_delta(g0, delta), PageRank warm-started
+   from the previous scores to the SAME tol, incremental_wcc from the
+   previous labels; incremental WCC labels are verified EQUAL to the cold
+   labels (exact join, mismatches must be 0).
+
+Reported per level: wall seconds for each leg and the cold/incremental
+speedup ratios; across levels: scaling efficiency t_lo / (ratio * t_hi)
+for the incremental legs.
+
+Usage: python scripts/incr_scaling.py [--scale 21] [--levels 8,32]
+       [--delta-frac 0.01] [--new-frac 0.25] [--repeat 1]
+Child mode (one JVM per level): --child --cpus N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cpus: int, scale: int, delta_frac: float, new_frac: float,
+          sp: int, tol: float) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.algorithms.wcc import (
+        incremental_wcc,
+        weakly_connected_components,
+    )
+    from linkgraph.generators import rmat_edges
+    from linkgraph.session import get_spark
+    from linkgraph.structure.delta import apply_edge_delta
+    from linkgraph.structure.graph import Graph
+
+    spark = get_spark(
+        app_name=f"incr-scaling-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=sp,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    V = 1 << scale
+    E = V * 16
+    n_delta = max(1, int(E * delta_frac))
+
+    base = rmat_edges(spark, scale, 16, seed=42).cache()
+    base_E = base.count()
+
+    # additions-only delta from a second RMAT seed; `new_frac` of the rows
+    # get their dst offset past 2^scale so they reference never-seen
+    # vertices (a fresh-crawl batch) — the _extend_map path.
+    delta = (
+        rmat_edges(spark, scale, 16, seed=777)
+        .limit(n_delta)
+        .withColumn(
+            "dst",
+            F.when(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(100))
+                < F.lit(int(new_frac * 100)),
+                F.col("dst") + F.lit(V),
+            ).otherwise(F.col("dst")),
+        )
+        .cache()
+    )
+    delta_rows = delta.count()
+
+    # ---- previous-cycle state (not timed against either path) ----
+    g0 = Graph.from_edgelist(base, directed=True, renumber=True)
+    g0.edges.count()
+    prev_pr = (
+        pagerank(g0, tol=tol, max_iter=200)
+        .select("vertex", F.col("pagerank").alias("values"))
+        .persist()
+    )
+    prev_pr.count()
+    prev_wcc_g0 = weakly_connected_components(g0)
+    prev_wcc_g0.count()
+
+    # ---- COLD path: full rebuild + from-scratch algorithms ----
+    t0 = time.time()
+    cold_edges = base.unionByName(delta)
+    g_cold = Graph.from_edgelist(cold_edges, directed=True, renumber=True)
+    g_cold.edges.count()
+    cold_build_s = time.time() - t0
+
+    cold_pr_ts: list = []
+    t0 = time.time()
+    cold_pr = pagerank(g_cold, tol=tol, max_iter=200,
+                       iteration_timings=cold_pr_ts)
+    cold_pr.count()
+    cold_pr_s = time.time() - t0
+
+    t0 = time.time()
+    cold_wcc = weakly_connected_components(g_cold).persist()
+    cold_wcc.count()
+    cold_wcc_s = time.time() - t0
+
+    # ---- INCREMENTAL path ----
+    t0 = time.time()
+    g_inc = apply_edge_delta(g0, delta)
+    g_inc.edges.count()
+    apply_s = time.time() - t0
+
+    warm_pr_ts: list = []
+    t0 = time.time()
+    warm_pr = pagerank(g_inc, tol=tol, max_iter=200, nstart=prev_pr,
+                       iteration_timings=warm_pr_ts)
+    warm_pr.count()
+    warm_pr_s = time.time() - t0
+
+    # incremental_wcc wants the previous labels keyed by the POST-delta
+    # graph's ids; old internal ids are stable under _extend_map, so the
+    # g0 labels (external ids) are directly valid.
+    t0 = time.time()
+    inc_wcc = incremental_wcc(g_inc, prev_wcc_g0, delta).persist()
+    inc_wcc.count()
+    inc_wcc_s = time.time() - t0
+
+    # exactness: incremental labels == cold labels, vertex for vertex.
+    # (cold rebuild renumbers from scratch, so canonical min-internal-id
+    # labels differ in VALUE; compare the partitions they induce instead:
+    # same vertex sets grouped together <=> the label->label mapping is
+    # 1:1 in both directions.)
+    pairs = (
+        inc_wcc.select(F.col("vertex"), F.col("labels").alias("li"))
+        .join(
+            cold_wcc.select(F.col("vertex"), F.col("labels").alias("lc")),
+            on="vertex", how="full",
+        )
+    )
+    null_rows = pairs.filter(
+        F.col("li").isNull() | F.col("lc").isNull()
+    ).count()
+    violations = (
+        pairs.groupBy("li").agg(F.countDistinct("lc").alias("n"))
+        .filter(F.col("n") > 1).count()
+        + pairs.groupBy("lc").agg(F.countDistinct("li").alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+
+    print(json.dumps({
+        "cpus": cpus,
+        "scale": scale,
+        "shuffle_partitions": sp,
+        "base_edges": base_E,
+        "delta_rows": delta_rows,
+        "tol": tol,
+        "cold_build_s": round(cold_build_s, 2),
+        "cold_pr_s": round(cold_pr_s, 2),
+        "cold_pr_iters": len(cold_pr_ts),
+        "cold_wcc_s": round(cold_wcc_s, 2),
+        "apply_delta_s": round(apply_s, 2),
+        "warm_pr_s": round(warm_pr_s, 2),
+        "warm_pr_iters": len(warm_pr_ts),
+        "inc_wcc_s": round(inc_wcc_s, 2),
+        "wcc_partition_mismatches": violations,
+        "wcc_vertex_set_mismatches": null_rows,
+        "pr_speedup": round((cold_build_s + cold_pr_s)
+                            / (apply_s + warm_pr_s), 2),
+        "wcc_speedup": round((cold_build_s + cold_wcc_s)
+                             / (apply_s + inc_wcc_s), 2),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=21)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--delta-frac", type=float, default=0.01)
+    ap.add_argument("--new-frac", type=float, default=0.25)
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--sp", type=int, default=32)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+    if args.child:
+        child(args.cpus, args.scale, args.delta_frac, args.new_frac,
+              args.sp, args.tol)
+        return
+
+    levels = [int(x) for x in args.levels.split(",")]
+    results, raw = [], []
+    for cpus in levels:
+        best = None
+        for _ in range(args.repeat):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--cpus", str(cpus), "--scale", str(args.scale),
+                 "--delta-frac", str(args.delta_frac),
+                 "--new-frac", str(args.new_frac),
+                 "--sp", str(args.sp), "--tol", str(args.tol)],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(line)
+            raw.append(r)
+            assert r["wcc_partition_mismatches"] == 0, r
+            assert r["wcc_vertex_set_mismatches"] == 0, r
+            key = r["apply_delta_s"] + r["warm_pr_s"] + r["inc_wcc_s"]
+            if best is None or key < (best["apply_delta_s"]
+                                      + best["warm_pr_s"]
+                                      + best["inc_wcc_s"]):
+                best = r
+        results.append(best)
+
+    pairs = []
+    for a in results:
+        for b in results:
+            if b["cpus"] > a["cpus"]:
+                ratio = b["cpus"] / a["cpus"]
+                inc_a = a["apply_delta_s"] + a["warm_pr_s"] + a["inc_wcc_s"]
+                inc_b = b["apply_delta_s"] + b["warm_pr_s"] + b["inc_wcc_s"]
+                cold_a = a["cold_build_s"] + a["cold_pr_s"] + a["cold_wcc_s"]
+                cold_b = b["cold_build_s"] + b["cold_pr_s"] + b["cold_wcc_s"]
+                pairs.append({
+                    "lo": a["cpus"], "hi": b["cpus"], "ratio": ratio,
+                    "incr_s_lo": round(inc_a, 2),
+                    "incr_s_hi": round(inc_b, 2),
+                    "incr_efficiency": round(inc_a / (ratio * inc_b), 3),
+                    "cold_s_lo": round(cold_a, 2),
+                    "cold_s_hi": round(cold_b, 2),
+                    "cold_efficiency": round(cold_a / (ratio * cold_b), 3),
+                })
+    report = {"results": results, "pairs": pairs, "raw": raw}
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "incr_scaling.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(pairs, indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
