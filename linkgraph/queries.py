@@ -3099,3 +3099,92 @@ ORACLES["force_atlas2"] = f"""
     FROM force f
 """
 QUERIES["force_atlas2"] = q_force_atlas2
+
+
+# --- canonical-URL dedup (text/urls.py) -------------------------------------
+# The documents table has no url column, so the query synthesizes a messy
+# url per doc deterministically (five variant shapes keyed on doc_id % 5 —
+# casing, www, default port, tracking params, fragment, trailing slash,
+# param order) with the IDENTICAL expression in both engines; what the
+# oracle then actually checks is the canonicalization rule set itself plus
+# the keep-min grouping.
+
+
+def _messy_url_col() -> F.Column:
+    k = F.pmod(F.col("doc_id"), F.lit(100)).cast("string")
+    host = F.concat(F.lit("site"), k, F.lit(".example.com"))
+    path = F.concat(F.lit("/doc/"), k)
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."),
+                F.upper(host),
+                F.lit(":443"),
+                path,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), host, path, F.lit("?utm_source=feed&ref=rss")
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(F.lit("https://"), host, F.lit(":443"), path, F.lit("#sec2")),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("?b=2&a=1")))
+    )
+
+
+_MESSY_URL_SQL = """
+    CASE CAST(doc_id % 5 AS BIGINT)
+      WHEN 0 THEN 'https://site' || CAST(doc_id % 100 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://WWW.' || upper('site' || CAST(doc_id % 100 AS VARCHAR)
+                  || '.example.com') || ':443/doc/'
+                  || CAST(doc_id % 100 AS VARCHAR) || '/'
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 100 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR)
+                  || '?utm_source=feed&ref=rss'
+      WHEN 3 THEN 'https://site' || CAST(doc_id % 100 AS VARCHAR)
+                  || '.example.com:443/doc/' || CAST(doc_id % 100 AS VARCHAR)
+                  || '#sec2'
+      ELSE 'https://site' || CAST(doc_id % 100 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR) || '?b=2&a=1'
+    END
+"""
+
+
+def q_doc_url_dedup(spark, sf_dir):
+    from .text.urls import url_dedup
+
+    d = _documents(spark, sf_dir).select("doc_id", _messy_url_col().alias("url"))
+    return url_dedup(d, url_col="url", id_col="doc_id").select(
+        "doc_id", "canonical_url", "is_canonical"
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from .text.urls import canonicalize_url_sql
+
+    canon = canonicalize_url_sql("url")
+    return f"""
+    WITH urls AS (
+        SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ),
+    canon AS (SELECT doc_id, {canon} AS canonical_url FROM urls),
+    keep AS (SELECT canonical_url, min(doc_id) AS keep_id
+             FROM canon GROUP BY canonical_url)
+    SELECT c.doc_id, c.canonical_url,
+           (c.doc_id = k.keep_id) AS is_canonical
+    FROM canon c JOIN keep k USING (canonical_url)
+    """
+
+
+QUERIES["doc_url_dedup"] = q_doc_url_dedup
+ORACLES["doc_url_dedup"] = _url_dedup_oracle()

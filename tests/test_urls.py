@@ -1,0 +1,85 @@
+"""URL canonicalization (text/urls.py): rule coverage, Spark-vs-DuckDB
+dialect parity, and the keep-min dedup contract."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.text.urls import (
+    canonicalize_url,
+    canonicalize_url_sql,
+    url_dedup,
+)
+
+CASES = [
+    # (input, expected canonical)
+    ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+     "http://example.com/a/b?a=1&b=2"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    ("http://example.com:8080/path/", "http://example.com:8080/path"),
+    ("https://sub.example.com/p?fbclid=abc", "https://sub.example.com/p"),
+    ("https://example.com/p?z=1&gclid=2&a=3&utm_campaign=q",
+     "https://example.com/p?a=3&z=1"),
+    ("  https://example.com/x//  ", "https://example.com/x"),
+    ("not a url at all", "not a url at all"),
+    ("ftp://Host.Example:21/file", "ftp://host.example:21/file"),
+    # tracking-name match is exact and case-sensitive: ref drops, Ref/refx stay
+    ("https://example.com/p?ref=nav&Ref=keep&refx=keep2",
+     "https://example.com/p?Ref=keep&refx=keep2"),
+    ("https://example.com/?", "https://example.com/"),
+    ("http://www.example.com", "http://example.com/"),
+    # :80 is only default for http, not https
+    ("https://example.com:80/p", "https://example.com:80/p"),
+]
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(CASES)], "doc_id long, url string"
+    )
+
+
+def test_rules_spark(spark, urls_df):
+    got = [
+        r.c
+        for r in urls_df.orderBy("doc_id")
+        .select(canonicalize_url("url").alias("c"))
+        .collect()
+    ]
+    assert got == [exp for _, exp in CASES]
+
+
+def test_dialect_parity_duckdb(urls_df):
+    sql = canonicalize_url_sql("url")
+    con = duckdb.connect()
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql} FROM (SELECT unnest(?) AS url)",
+            [[c for c, _ in CASES]],
+        ).fetchall()
+    ]
+    assert got == [exp for _, exp in CASES]
+
+
+def test_url_dedup_keep_min(spark):
+    rows = [
+        (10, "https://example.com/a"),
+        (11, "HTTPS://WWW.EXAMPLE.COM:443/a/"),   # same canonical as 10
+        (12, "https://example.com/a?utm_source=x"),  # same canonical as 10
+        (13, "https://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert out[10].is_canonical and not out[11].is_canonical
+    assert not out[12].is_canonical and out[13].is_canonical
+    assert out[11].canonical_url == out[10].canonical_url == "https://example.com/a"
+
+
+def test_no_python_udf_in_plan(spark, urls_df):
+    plan = urls_df.select(
+        canonicalize_url("url").alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
