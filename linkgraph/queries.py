@@ -3188,3 +3188,61 @@ def _url_dedup_oracle() -> str:
 
 QUERIES["doc_url_dedup"] = q_doc_url_dedup
 ORACLES["doc_url_dedup"] = _url_dedup_oracle()
+
+
+# --- per-vertex triangles + local clustering coefficient --------------------
+# Beyond-reference (the fork's triangles() is a global scalar,
+# community/triangle_count.py:33-37); same degree-ordered oriented plan,
+# inner closing join, corner explode. cc is emitted as the exact integer
+# floor((2e6*t) / (d*(d-1))) so the compare never touches a float.
+
+
+def q_clustering_coeff(spark, sf_dir):
+    from .algorithms.triangles import clustering_coefficient
+
+    g = Graph.from_edgelist(
+        supply_edges(spark, sf_dir), directed=False, renumber=False
+    )
+    r = clustering_coefficient(g)
+    denom = F.col("nbr_degree") * (F.col("nbr_degree") - F.lit(1))
+    return r.select(
+        "vertex",
+        "triangles",
+        "nbr_degree",
+        F.when(
+            denom > 0,
+            F.expr("2000000 * triangles div (nbr_degree * (nbr_degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_e6"),
+    )
+
+
+ORACLES["clustering_coeff"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)
+            WHERE src <> dst),
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    orient AS (SELECT e.src, e.dst FROM sym e
+               JOIN deg a ON e.src = a.v JOIN deg b ON e.dst = b.v
+               WHERE a.d < b.d OR (a.d = b.d AND e.src < e.dst)),
+    tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+            FROM orient e1 JOIN orient e2 ON e1.dst = e2.src
+            JOIN orient e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+    corners AS (SELECT x AS vertex, count(*) AS t FROM (
+                    SELECT u AS x FROM tri UNION ALL
+                    SELECT v AS x FROM tri UNION ALL
+                    SELECT w AS x FROM tri) GROUP BY x),
+    univ AS (SELECT unnest(generate_series(0, (SELECT max(greatest(src, dst)) FROM raw))) AS vertex)
+    SELECT univ.vertex,
+           coalesce(c.t, 0) AS triangles,
+           coalesce(deg.d, 0) AS nbr_degree,
+           CASE WHEN coalesce(deg.d, 0) > 1
+                THEN (2000000 * coalesce(c.t, 0)) // (deg.d * (deg.d - 1))
+                ELSE 0 END AS cc_e6
+    FROM univ LEFT JOIN corners c ON univ.vertex = c.vertex
+              LEFT JOIN deg ON univ.vertex = deg.v
+"""
+QUERIES["clustering_coeff"] = q_clustering_coeff
