@@ -3246,3 +3246,23 @@ ORACLES["clustering_coeff"] = f"""
               LEFT JOIN deg ON univ.vertex = deg.v
 """
 QUERIES["clustering_coeff"] = q_clustering_coeff
+
+
+# --- bloom-tier decontamination ----------------------------------------------
+# Same output contract as doc_decontaminate (the bloom prefilter is followed
+# by an exact-confirm join, so false positives never reach the output) —
+# the oracle is therefore the identical SQL. What this row adds is a driver
+# value check of the whole bloom path: bitmap build, packed-word gather,
+# survivor confirm.
+
+
+def q_doc_decontaminate_bloom(spark, sf_dir):
+    from .text.pipeline import bloom_decontaminate
+
+    d = _documents(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return bloom_decontaminate(d, bench, n=8)
+
+
+QUERIES["doc_decontaminate_bloom"] = q_doc_decontaminate_bloom
+ORACLES["doc_decontaminate_bloom"] = ORACLES["doc_decontaminate"]

@@ -190,3 +190,124 @@ def write_shards(
         .sortWithinPartitions("shard", key_col)
     )
     out.write.partitionBy("shard").mode(mode).parquet(path)
+
+
+# --- Bloom-filter decontamination tier ---------------------------------------
+# Above the broadcast gate, plain decontaminate falls back to shuffling the
+# CORPUS shingle explosion on the shingle string — an E-scale string shuffle
+# at 100 TB. The bloom tier replaces it with: (1) one bit_or aggregation
+# that packs the benchmark shingles into a ~bits_per_item·n bitmap (the
+# ANF/FM-sketch pattern, anf.py), (2) a map-side membership test over the
+# corpus (Arrow-batched numpy gather), (3) an exact-confirm join on ONLY
+# the survivors (true hits + ~0.1% false positives), so the final output is
+# EXACT — identical to plain decontaminate, which is what the driver oracle
+# checks. Spark's own bloom_filter_agg/might_contain pair is not in the
+# public function registry, hence the self-contained build.
+
+BLOOM_K = 10  # hash functions; with bits_per_item=14 -> fpp ~ 8e-4
+
+
+def _bloom_positions(col: Column, m_bits: int) -> Column:
+    """Array of BLOOM_K bit positions for ``col`` — k INDEPENDENT
+    xxhash64(col, i) draws (no Kirsch-Mitzenmacher combination: Spark 4
+    ANSI long arithmetic would need overflow-wrapping; independent seeded
+    hashes avoid arithmetic entirely and replay trivially in numpy)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(BLOOM_K)]
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    bits_per_item: int = 14,
+) -> DataFrame:
+    """Exact decontamination via bloom prefilter + exact confirm.
+
+    Same output contract as :func:`decontaminate` (DF[id, n_contaminated,
+    contaminated] over every doc). The benchmark bitmap costs
+    ``bits_per_item`` bits per distinct benchmark shingle (14 -> fpp
+    ~8e-4 with k=10) and is built with one map-side-combined bit_or
+    shuffle of at most m/64 words; only the packed words reach the driver
+    (the inherent size of the filter itself). The corpus-side test is one
+    whole-stage-codegen hash projection + one Arrow-batched numpy gather —
+    the corpus shingle table is never shuffled; only survivors (true hits
+    + ~fpp of the corpus) pay the exact-confirm join.
+    """
+    import math
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bench_sh = (
+        word_shingles(benchmark, text_col, id_col, k=n)
+        .select("shingle").distinct().persist()
+    )
+    n_items = bench_sh.count()
+    if n_items == 0:
+        bench_sh.unpersist()
+        return docs.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_contaminated"),
+            F.lit(0).cast("int").alias("contaminated"),
+        )
+    m_bits = 1 << max(6, int(math.ceil(math.log2(max(64, n_items * bits_per_item)))))
+
+    # distributed bitmap build: position -> (word, mask), bit_or per word
+    words = (
+        bench_sh.select(
+            F.explode(_bloom_positions(F.col("shingle"), m_bits)).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .toPandas()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.int64)
+    bitmap[words["word"].to_numpy()] = words["bits"].to_numpy()
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    doc_sh = word_shingles(docs, text_col, id_col, k=n).select(
+        id_col,
+        "shingle",
+        _bloom_positions(F.col("shingle"), m_bits).alias("pos"),
+    )
+    schema = f"{id_col} long, shingle string"
+
+    def prefilter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = np.array(pdf["pos"].tolist(), dtype=np.int64)  # n x k
+            hit = (
+                (bm[pos >> 6] >> (pos & 63)) & 1
+            ).all(axis=1)
+            out = pdf.loc[hit, [id_col, "shingle"]]
+            if len(out):
+                yield out
+
+    survivors = doc_sh.mapInPandas(prefilter, schema)
+    hits = (
+        survivors.join(bench_sh, on="shingle")  # exact confirm
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    out = (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+    return out

@@ -125,3 +125,32 @@ def test_lcg_threshold_edges(spark):
         == 0
     )
     assert LCG_M == 2**31
+
+
+def test_bloom_decontaminate_matches_exact(docs):
+    """Bloom tier == plain decontaminate, even under heavy false-positive
+    pressure (bits_per_item=1 -> most prefilter survivors are false) —
+    the exact-confirm join must scrub every one."""
+    from linkgraph.text.pipeline import bloom_decontaminate, decontaminate
+
+    bench = docs.filter(F.col("doc_id") >= 4)  # docs 4 and 5 are identical
+    exact = {
+        r.doc_id: (r.n_contaminated, r.contaminated)
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    for bpi in (1, 14):
+        got = {
+            r.doc_id: (r.n_contaminated, r.contaminated)
+            for r in bloom_decontaminate(docs, bench, n=5, bits_per_item=bpi).collect()
+        }
+        assert got == exact, f"bits_per_item={bpi}"
+    assert any(v[1] == 1 for v in exact.values())  # scenario non-trivial
+
+
+def test_bloom_decontaminate_empty_benchmark(docs, spark):
+    from linkgraph.text.pipeline import bloom_decontaminate
+
+    bench = docs.filter(F.lit(False))
+    out = bloom_decontaminate(docs, bench, n=5)
+    assert out.filter(F.col("contaminated") != 0).count() == 0
+    assert out.count() == docs.count()
