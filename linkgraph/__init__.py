@@ -166,6 +166,17 @@ from .text.dedup import (
     simhash_signatures,
     span_dedup,
 )
+from .algorithms.triangles import clustering_coefficient, triangle_counts
+from .text.pipeline import (
+    bloom_decontaminate,
+    decontaminate,
+    pii_redact,
+    shard_assignment,
+    shard_plan,
+    stratified_sample,
+    write_shards,
+)
+from .text.urls import canonicalize_url, url_dedup
 
 __all__ = [
     "Graph",
@@ -283,6 +294,17 @@ __all__ = [
     "simhash_near_pairs",
     "simhash_signatures",
     "span_dedup",
+    "triangle_counts",
+    "clustering_coefficient",
+    "pii_redact",
+    "decontaminate",
+    "bloom_decontaminate",
+    "stratified_sample",
+    "shard_assignment",
+    "shard_plan",
+    "write_shards",
+    "canonicalize_url",
+    "url_dedup",
     "sorensen",
     "sorensen_w",
     "strongly_connected_components",
