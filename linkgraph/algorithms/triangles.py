@@ -73,8 +73,21 @@ def triangle_counts(
     map-side-combined aggregation. Isolated and triangle-free vertices are
     emitted with 0 over the full [0, V) universe.
     """
+    out = _triangle_counts_internal(graph)
+    if graph.renumbered:
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def _triangle_counts_internal(graph: Graph, num_partitions: int | None = None) -> DataFrame:
+    """DF[vertex, counts] in INTERNAL ids. The V-row result is eagerly
+    localCheckpointed so the oriented-edge cache can be released before
+    returning (a lazy return would either leak the cache or recompute the
+    orientation once per a/b/c scan leg at the caller's action)."""
     if graph.directed:
         raise ValueError("input graph must be undirected")
+    from ..plans import truncate_plan
+
     spark = graph.edges.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -102,13 +115,12 @@ def triangle_counts(
         .groupBy("vertex")
         .agg(F.count("*").alias("counts"))
     )
-    out = (
+    out = truncate_plan(
         graph.vertices()
         .join(corners, on="vertex", how="left")
-        .select("vertex", F.coalesce(F.col("counts"), F.lit(0)).alias("counts"))
+        .select("vertex", F.coalesce(F.col("counts"), F.lit(0)).alias("counts")),
+        eager=True,
     )
-    if graph.renumbered:
-        out = graph.unrenumber(out, "vertex")
     oriented.unpersist()
     return out
 
@@ -120,8 +132,12 @@ def clustering_coefficient(
     coefficient 2·t(v) / (d·(d−1)) with d = number of DISTINCT neighbors
     excluding self-loops (the quantity the formula is defined over;
     vertices with d < 2 get 0.0). Both operands are exact integers, so the
-    double division is correctly rounded and cross-engine identical."""
-    t = triangle_counts(graph, num_partitions)
+    double division is correctly rounded and cross-engine identical.
+
+    Joins on INTERNAL ids and unrenumbers once at the end (composite
+    external keys expand 'vertex' into multiple columns, so joining after
+    unrenumbering would break — and would pay a second map join)."""
+    t = _triangle_counts_internal(graph, num_partitions)
     e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     nd = (
         e.select(F.col("src").alias("vertex"), F.col("dst").alias("n"))
@@ -129,15 +145,16 @@ def clustering_coefficient(
         .groupBy("vertex")
         .agg(F.count("*").alias("nbr_degree"))
     )
-    if graph.renumbered:
-        nd = graph.unrenumber(nd, "vertex")
     out = t.join(nd, on="vertex", how="left").select(
         "vertex",
         F.col("counts").alias("triangles"),
         F.coalesce(F.col("nbr_degree"), F.lit(0)).alias("nbr_degree"),
     )
     denom = F.col("nbr_degree") * (F.col("nbr_degree") - 1)
-    return out.withColumn(
+    out = out.withColumn(
         "local_cc",
         F.when(denom > 0, 2.0 * F.col("triangles") / denom).otherwise(F.lit(0.0)),
     )
+    if graph.renumbered:
+        out = graph.unrenumber(out, "vertex")
+    return out

@@ -620,6 +620,9 @@ def _kmeans_full(
             .collect()
         )
         by_c = {r.cluster: [r[f"s{i}"] for i in range(dim)] for r in sums}
+        bc = getattr(af, "_lg_bc", None)
+        if bc is not None:  # stats collected — this iteration's broadcast is dead
+            bc.unpersist()
         new = []
         for c in range(len(cents)):
             s = by_c.get(c)
@@ -699,7 +702,13 @@ def _assign_frame(q: DataFrame, cents: list[list[int]]) -> DataFrame:
                 }
             )
 
-    return q.select("id", "qv").mapInPandas(assign_batches, schema)
+    out = q.select("id", "qv").mapInPandas(assign_batches, schema)
+    # handle for the caller: per-iteration assignment frames are fully
+    # consumed by the sufficient-stats collect, after which the broadcast
+    # can be released (the final frame's broadcast must outlive the
+    # returned lazy plan and is left to ContextCleaner)
+    out._lg_bc = bc
+    return out
 
 
 def kmeans_embeddings(

@@ -136,7 +136,7 @@ def apply_edge_delta(
 _EXTEND_BUCKETS = 1024
 
 
-def _extend_map(graph: Graph, d: DataFrame) -> NumberMap:
+def _extend_map(graph: Graph, d: DataFrame, materialize: bool = True) -> NumberMap:
     """Append delta-only external keys to the number map as dense ids
     V, V+1, ... in deterministic (hash-bucket, key) order. Delta-sized work
     only: the existing map is touched by one left_anti join.
@@ -185,6 +185,17 @@ def _extend_map(graph: Graph, d: DataFrame) -> NumberMap:
             F.lit(0).alias("out_degree"),
         )
     )
+    if materialize:
+        # appended is eagerly pinned (delta-sized) so new_keys' cache can
+        # be released HERE — a lazy return would leak one persisted
+        # delta-keys table into the block manager per apply_edge_delta
+        # call. materialize=False keeps the raw plan inspectable (the
+        # no-SinglePartition pytest) at the cost of the caller owning the
+        # new_keys cache lifetime.
+        from ..plans import truncate_plan
+
+        appended = truncate_plan(appended, eager=True)
+        new_keys.unpersist()
     return NumberMap(
         map=nmap.map.unionByName(appended), key_cols=list(nmap.key_cols)
     )

@@ -244,11 +244,12 @@ def bloom_decontaminate(
     import pandas as pd
 
     spark = docs.sparkSession
-    bench_sh = (
+    bench_sh_cached = (
         word_shingles(benchmark, text_col, id_col, k=n)
         .select("shingle").distinct().persist()
     )
-    n_items = bench_sh.count()
+    n_items = bench_sh_cached.count()
+    bench_sh = bench_sh_cached
     if n_items == 0:
         bench_sh.unpersist()
         return docs.select(
@@ -274,13 +275,23 @@ def bloom_decontaminate(
     bitmap = np.zeros(m_bits // 64, dtype=np.int64)
     bitmap[words["word"].to_numpy()] = words["bits"].to_numpy()
     bc = spark.sparkContext.broadcast(bitmap)
+    # the bitmap build (the only consumer that reads the cached table more
+    # than once) is done — release the cache NOW and let the exact-confirm
+    # join recompute the bench shingles lazily at action time (bench-scale,
+    # one pass); otherwise the cache leaks until context shutdown because
+    # the returned plan is lazy
+    bench_sh = word_shingles(benchmark, text_col, id_col, k=n).select(
+        "shingle"
+    ).distinct()
+    bench_sh_cached.unpersist()
 
     doc_sh = word_shingles(docs, text_col, id_col, k=n).select(
         id_col,
         "shingle",
         _bloom_positions(F.col("shingle"), m_bits).alias("pos"),
     )
-    schema = f"{id_col} long, shingle string"
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, shingle string"
 
     def prefilter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bm = bc.value

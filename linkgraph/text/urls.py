@@ -57,9 +57,18 @@ def canonicalize_url(url: Column | str) -> Column:
     path = F.regexp_extract(u, _URL_RE, 3)
     query = F.regexp_extract(u, _URL_RE, 4)
 
-    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    # authority = [userinfo@]host[:port] — userinfo (rare but present in
+    # real crawl data) is preserved verbatim, case-significant; only the
+    # host is folded. Without this split, 'user:pw@host' would parse the
+    # username as the host and collapse distinct hosts into one key.
+    userinfo = F.regexp_extract(auth, r"^([^@]*)@", 1)
+    user_part = F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(
+        F.lit("")
+    )
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
@@ -85,9 +94,11 @@ def canonicalize_url(url: Column | str) -> Column:
         F.lit("")
     )
 
-    canon = F.concat(scheme, F.lit("://"), host, port_part, npath, query_part)
+    canon = F.concat(
+        scheme, F.lit("://"), user_part, host, port_part, npath, query_part
+    )
     # non-URL strings pass through trimmed (regexp_extract yields '' on
-    # no-match, so scheme=='' identifies them)
+    # no-match, so scheme=='' identifies them); NULL stays NULL
     return F.when(scheme == "", u).otherwise(canon)
 
 
@@ -103,8 +114,11 @@ def canonicalize_url_sql(expr: str) -> str:
     auth = f"regexp_extract({u}, '{re}', 2)"
     path = f"regexp_extract({u}, '{re}', 3)"
     query = f"regexp_extract({u}, '{re}', 4)"
-    host = f"regexp_replace(lower(regexp_extract({auth}, '^([^:]*)', 1)), '^www\\.', '')"
-    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    userinfo = f"regexp_extract({auth}, '^([^@]*)@', 1)"
+    user_part = f"CASE WHEN {userinfo} <> '' THEN {userinfo} || '@' ELSE '' END"
+    hostport = f"regexp_replace({auth}, '^[^@]*@', '')"
+    host = f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)), '^www\\.', '')"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
     port_part = (
         f"CASE WHEN {port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
         f"AND NOT ({scheme} = 'https' AND {port} = '443') "
@@ -122,7 +136,10 @@ def canonicalize_url_sql(expr: str) -> str:
     )
     nquery = f"array_to_string(list_sort({params}), '&')"
     query_part = f"CASE WHEN {nquery} <> '' THEN '?' || {nquery} ELSE '' END"
-    canon = f"{scheme} || '://' || {host} || {port_part} || {npath} || {query_part}"
+    canon = (
+        f"{scheme} || '://' || {user_part} || {host} || {port_part} "
+        f"|| {npath} || {query_part}"
+    )
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"
 
 
@@ -136,6 +153,13 @@ def url_dedup(
     c = df.select(
         F.col(id_col), F.col(url_col), canonicalize_url(url_col).alias("canonical_url")
     )
+    # NULL urls cannot be canonicalized, so each is its own group (kept);
+    # an equi-join would silently DROP them (NULL != NULL), so they bypass
+    # the group join entirely.
+    nulls = c.filter(F.col("canonical_url").isNull()).select(
+        id_col, url_col, "canonical_url", F.lit(True).alias("is_canonical")
+    )
+    c = c.filter(F.col("canonical_url").isNotNull())
     keeper = c.groupBy("canonical_url").agg(F.min(id_col).alias("__keep__"))
     return (
         c.join(keeper, on="canonical_url")
@@ -145,4 +169,5 @@ def url_dedup(
             "canonical_url",
             (F.col(id_col) == F.col("__keep__")).alias("is_canonical"),
         )
+        .unionByName(nulls)
     )

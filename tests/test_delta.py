@@ -125,7 +125,7 @@ def test_extend_map_no_single_partition_exchange(spark):
     d = spark.createDataFrame(
         [(f"n{i:03d}", "a", 1.0) for i in range(50)], "src STRING, dst STRING, dw DOUBLE"
     )
-    ext = _extend_map(g, d)
+    ext = _extend_map(g, d, materialize=False)
     plan = ext.map._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "windowspecdefinition(bkt" in plan, plan
