@@ -45,7 +45,11 @@ from .algorithms.traversal import (
 from .algorithms.katz import KatzConvergenceError, katz_centrality
 from .algorithms.hits import hits
 from .algorithms.salsa import salsa
-from .algorithms.anf import effective_diameter, neighborhood_function
+from .algorithms.anf import (
+    effective_diameter,
+    harmonic_centrality,
+    neighborhood_function,
+)
 from .algorithms.link_prediction import (
     jaccard,
     jaccard_w,
@@ -218,6 +222,7 @@ __all__ = [
     "cosine_topk",
     "decode_image_stats",
     "effective_diameter",
+    "harmonic_centrality",
     "ego_graph",
     "exact_dedup",
     "extract_links",

@@ -194,6 +194,161 @@ def neighborhood_function(
     return curve, sketches
 
 
+# --- HyperBall harmonic centrality ------------------------------------------
+# Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+# HyperBall" (ICDMW 2013): harmonic centrality H(v) = sum_{u != v} 1/d(u, v)
+# estimated from per-vertex reachability-sketch ball sizes,
+#     H(v) ~= sum_{t >= 1} (|B(v, t)| - |B(v, t-1)|) / t,
+# THE centrality the paper ranks the whole web graph with (closeness is
+# degenerate on non-strongly-connected graphs; harmonic is not). Reference
+# N/A (the fork has Katz/BC/HITS but no distance-based centrality).
+#
+# Exactness design: every per-vertex ball estimate is computed in scaled
+# INTEGER arithmetic so the driver oracle replays it bit-for-bit. With r
+# registers and rt = sum of register lowest-zero positions, the FM estimate
+# is 2^(rt/r)/phi; we emit ball_e6 = (1 << rt div r) * POW2_FRAC[rt mod r]
+# (POW2_FRAC[f] = round(2^(f/r) * 1e6), a shared literal table) and
+# harmonic_e = sum_t (ball_e6(t) - ball_e6(t-1)) * HARM_W[t] with
+# HARM_W[t] = round(1e3 / t) — exact BIGINTs in both engines (bounded by
+# 1e3 * max ball_e6 < 2^63 since register positions are capped at 30).
+# The float `harmonic` column is derived from harmonic_e at the end.
+POW2_FRAC_SCALE = 1_000_000
+HARM_W_SCALE = 1_000
+
+
+def pow2_frac_table(num_registers: int) -> list[int]:
+    """round(2^(f/r) * 1e6) for f in [0, r) — baked into both engines."""
+    return [
+        int(round((2.0 ** (f / num_registers)) * POW2_FRAC_SCALE))
+        for f in range(num_registers)
+    ]
+
+
+def harm_weight(t: int) -> int:
+    """round(1e3 / t) — the scaled 1/t harmonic weight literal."""
+    return int(round(HARM_W_SCALE / t))
+
+
+def _ball_e6(num_registers: int):
+    """Scaled-integer FM ball estimate from the per-vertex column ``rt``."""
+    frac = "array(" + ", ".join(str(v) for v in pow2_frac_table(num_registers)) + ")"
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(rt DIV {num_registers} AS INT)) "
+        f"* CAST(element_at({frac}, CAST(rt % {num_registers} AS INT) + 1) AS BIGINT)"
+    )
+
+
+def harmonic_centrality(
+    graph: Graph,
+    max_hops: int = 16,
+    num_registers: int = 8,
+    seed: int = 42,
+    hash_mode: str = "xxhash",
+    mode: str = "in",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DF[vertex, harmonic_e, harmonic] — HyperBall harmonic centrality.
+
+    ``mode="in"`` (the paper's convention) counts vertices u that REACH v,
+    weighting each by 1/d(u, v); ``mode="out"`` uses out-balls instead.
+    Stops early at the sketch fixpoint (every ball closed — remaining hop
+    terms are exactly zero).
+
+    Physical plan: per hop ONE E-scale join onto the persisted
+    dst-partitioned edge table + one map-side-combined BIT_OR aggregation
+    (the ANF superstep) + one V-row vertex-keyed aggregation folded into a
+    co-partitioned running-score join; ONE scalar driver action per hop (the
+    fixpoint total, doubling as the N(t) point). State is r rows of 3 longs
+    per vertex — the PageRank shuffle-volume class; hub messages collapse in
+    partial aggregation, so power-law skew needs no salting.
+    """
+    if mode not in ("in", "out"):
+        raise ValueError(f"mode must be 'in' or 'out', got {mode!r}")
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    spark = graph.edges.sparkSession
+    nparts = pick_partitions(spark, graph.edges.count(), num_partitions)
+    e = graph.edges.select("src", "dst")
+    if mode == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges_t = (
+        e.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_t.count()
+    V = graph.number_of_vertices()
+    bcast = V * num_registers <= BROADCAST_STATE_MAX_V
+
+    def _state(df, key):
+        return F.broadcast(df) if bcast else df.repartition(nparts, key)
+
+    ball = _ball_e6(num_registers)
+    state = truncate_plan(
+        _init_masks(graph.vertices(), num_registers, seed, hash_mode), eager=False
+    )
+    state_ck = state
+    score = truncate_plan(
+        state.groupBy("vertex")
+        .agg(F.sum(_lowest_zero_pos(F.col("mask"))).alias("rt"))
+        .select("vertex", "rt", ball.alias("ball"), F.lit(0).cast("long").alias("acc")),
+        eager=False,
+    )
+    score_ck = score
+    total_prev = score.agg(F.sum("rt").alias("rt")).collect()[0]["rt"]
+    with no_aqe(spark):
+        for t in range(1, max_hops + 1):
+            msgs = edges_t.join(
+                _state(state.select(F.col("vertex").alias("dst"), "j", "mask"), "dst"),
+                on="dst",
+            ).select(F.col("src").alias("vertex"), "j", "mask")
+            new = truncate_plan(
+                state.unionByName(msgs)
+                .groupBy("vertex", "j")
+                .agg(F.bit_or("mask").alias("mask")),
+                eager=False,
+            )
+            per_v = new.groupBy("vertex").agg(
+                F.sum(_lowest_zero_pos(F.col("mask"))).alias("rt")
+            )
+            new_score = truncate_plan(
+                score.select("vertex", F.col("ball").alias("ball_prev"), "acc")
+                .join(per_v, on="vertex")
+                .select("vertex", "rt", ball.alias("ball"), "ball_prev", "acc")
+                .select(
+                    "vertex",
+                    "rt",
+                    "ball",
+                    (
+                        F.col("acc")
+                        + (F.col("ball") - F.col("ball_prev"))
+                        * F.lit(harm_weight(t))
+                    ).cast("long").alias("acc"),
+                ),
+                eager=False,
+            )
+            total = new_score.agg(F.sum("rt").alias("rt")).collect()[0]["rt"]
+            release_plan(state_ck)
+            release_plan(score_ck)
+            state = state_ck = new
+            score = score_ck = new_score
+            if total == total_prev:
+                break  # no register changed: every ball closed (exact stop)
+            total_prev = total
+    out = score.select(
+        "vertex",
+        F.col("acc").alias("harmonic_e"),
+        (
+            F.col("acc") / F.lit(float(POW2_FRAC_SCALE) * HARM_W_SCALE * FM_PHI)
+        ).alias("harmonic"),
+    )
+    if graph.renumbered:
+        out = graph.unrenumber(out, "vertex")
+    edges_t.unpersist()
+    return out
+
+
 def effective_diameter(
     graph: Graph,
     q: float = 0.9,

@@ -3266,3 +3266,81 @@ def q_doc_decontaminate_bloom(spark, sf_dir):
 
 QUERIES["doc_decontaminate_bloom"] = q_doc_decontaminate_bloom
 ORACLES["doc_decontaminate_bloom"] = ORACLES["doc_decontaminate"]
+
+
+# --- HyperBall harmonic centrality -------------------------------------------
+# Boldi-Vigna harmonic centrality over FM reachability sketches
+# (algorithms/anf.py harmonic_centrality, mode="in": vertices that REACH v,
+# each weighted 1/d). In lcg hash mode every register mask, per-vertex
+# register-position sum, scaled-integer ball estimate, and 1/t-weighted
+# accumulation is exact BIGINT arithmetic — the oracle replays the whole
+# computation value-for-value (same sketch replay as the `anf` row, plus
+# the ball/weight fold).
+
+
+def q_harmonic(spark, sf_dir):
+    from .algorithms.anf import harmonic_centrality
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    out = harmonic_centrality(
+        g, max_hops=ANF_HOPS, num_registers=ANF_REGS, seed=ANF_SEED,
+        hash_mode="lcg", mode="in",
+    )
+    return out.select("vertex", "harmonic_e")
+
+
+def _harmonic_oracle() -> str:
+    from .algorithms.anf import (
+        LCG_A, LCG_C, LCG_J, LCG_M, LCG_TZ_CAP, harm_weight, pow2_frac_table,
+    )
+
+    r = ANF_REGS
+    mask31 = LCG_M - 1
+    frac = "[" + ", ".join(str(v) for v in pow2_frac_table(r)) + "]"
+    # mode="in": the engine reverses the edges before the gather
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT dst AS src, src AS dst "
+        f"FROM ({SUPPLY_EDGES_SQL}))",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        f"regs AS (SELECT unnest(generate_series(0, {r - 1})) AS j)",
+        f"h0 AS (SELECT v, j, (({LCG_A} * (v + j * {LCG_J} + {ANF_SEED}) "
+        f"+ {LCG_C}) % {LCG_M}) AS h FROM univ CROSS JOIN regs)",
+        f"h1 AS (SELECT v, j, xor(h, (h << 13) & {mask31}) AS h FROM h0)",
+        "h2 AS (SELECT v, j, xor(h, h >> 17) AS h FROM h1)",
+        f"h3 AS (SELECT v, j, xor(h, (h << 5) & {mask31}) AS h FROM h2)",
+        "s0 AS MATERIALIZED (SELECT v, j, (CAST(1 AS BIGINT) << "
+        f"(CASE WHEN h = 0 THEN {LCG_TZ_CAP} "
+        f"ELSE least(bit_count((h & -h) - 1), {LCG_TZ_CAP}) END)) AS mask "
+        "FROM h3)",
+    ]
+    for k in range(1, ANF_HOPS + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v, j, bit_or(mask) AS mask FROM ("
+            f"SELECT v, j, mask FROM {p} "
+            f"UNION ALL "
+            f"SELECT e.src AS v, p.j, p.mask FROM edges e "
+            f"JOIN {p} p ON e.dst = p.v) GROUP BY v, j)"
+        )
+    for k in range(0, ANF_HOPS + 1):
+        parts.append(
+            f"b{k} AS (SELECT v, (CAST(1 AS BIGINT) << CAST(rt // {r} AS INT)) "
+            f"* {frac}[CAST(rt % {r} AS INT) + 1] AS ball FROM ("
+            f"SELECT v, CAST(sum(bit_count(mask & xor(mask + 1, "
+            f"CAST(-1 AS BIGINT)))) AS BIGINT) AS rt FROM s{k} GROUP BY v))"
+        )
+    terms = " + ".join(
+        f"(b{k}.ball - b{k-1}.ball) * {harm_weight(k)}"
+        for k in range(1, ANF_HOPS + 1)
+    )
+    joins = " ".join(f"JOIN b{k} USING (v)" for k in range(1, ANF_HOPS + 1))
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT b0.v AS vertex, CAST({terms} AS BIGINT) AS harmonic_e "
+        + f"FROM b0 {joins}"
+    )
+
+
+QUERIES["harmonic"] = q_harmonic
+ORACLES["harmonic"] = _harmonic_oracle()

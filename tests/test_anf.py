@@ -85,3 +85,120 @@ def test_effective_diameter_on_cycle(spark):
     d = effective_diameter(g, q=0.9, max_hops=20, num_registers=64,
                            hash_mode="xxhash")
     assert 8.0 <= d <= 11.0, d
+
+
+# --- HyperBall harmonic centrality ------------------------------------------
+
+from linkgraph.algorithms.anf import (  # noqa: E402
+    LCG_A, LCG_C, LCG_J, LCG_M, LCG_TZ_CAP,
+    harm_weight, harmonic_centrality, pow2_frac_table,
+)
+
+
+def _replay_harmonic(edges, n, r, seed, max_hops, mode):
+    """Pure-Python replay of harmonic_centrality's lcg mode (exact ints)."""
+    mask31 = LCG_M - 1
+    if mode == "in":
+        edges = [(d, s) for s, d in edges]
+    out_nbrs = {}
+    for s, d in edges:
+        if s != d:
+            out_nbrs.setdefault(s, set()).add(d)
+    masks = {}
+    for v in range(n):
+        for j in range(r):
+            h = (LCG_A * (v + j * LCG_J + seed) + LCG_C) % LCG_M
+            h ^= (h << 13) & mask31
+            h ^= h >> 17
+            h ^= (h << 5) & mask31
+            pos = LCG_TZ_CAP if h == 0 else min((h & -h).bit_length() - 1, LCG_TZ_CAP)
+            masks[(v, j)] = 1 << pos
+    frac = pow2_frac_table(r)
+
+    def rt(v):
+        tot = 0
+        for j in range(r):
+            m = masks[(v, j)]
+            tot += bin(m & ~(m + 1) & ((1 << 62) - 1)).count("1")
+        return tot
+
+    def ball(v):
+        t = rt(v)
+        return (1 << (t // r)) * frac[t % r]
+
+    prev = {v: ball(v) for v in range(n)}
+    acc = {v: 0 for v in range(n)}
+    for t in range(1, max_hops + 1):
+        new = {}
+        for v in range(n):
+            for j in range(r):
+                m = masks[(v, j)]
+                for w in out_nbrs.get(v, ()):
+                    m |= masks[(w, j)]
+                new[(v, j)] = m
+        masks = new
+        w_t = harm_weight(t)
+        for v in range(n):
+            b = ball(v)
+            acc[v] += (b - prev[v]) * w_t
+            prev[v] = b
+    return acc
+
+
+def test_harmonic_matches_pure_python_replay(spark):
+    rng = np.random.default_rng(7)
+    n = 60
+    edges = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, n, size=(150, 2)) if a != b}
+    )
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    for mode in ("in", "out"):
+        g = Graph.from_edgelist(sdf, directed=True, renumber=False)
+        got = {
+            r_.vertex: r_.harmonic_e
+            for r_ in harmonic_centrality(
+                g, max_hops=6, num_registers=4, seed=42, hash_mode="lcg", mode=mode
+            ).collect()
+        }
+        want = _replay_harmonic(edges, n, 4, 42, 6, mode)
+        assert got == want, mode
+
+
+def test_harmonic_star_hub_ranks_first(spark):
+    # star: every leaf points at the hub; mode="in" counts reachers of v,
+    # so the hub's harmonic ~ n-1 and every leaf's ~ 0
+    n = 40
+    edges = [(i, 0) for i in range(1, n)]
+    g = Graph.from_edgelist(
+        spark.createDataFrame(edges, "src long, dst long"),
+        directed=True, renumber=False,
+    )
+    rows = harmonic_centrality(
+        g, max_hops=4, num_registers=64, hash_mode="xxhash", mode="in"
+    ).collect()
+    by_v = {r_.vertex: r_.harmonic for r_ in rows}
+    assert max(by_v, key=by_v.get) == 0
+    assert abs(by_v[0] - (n - 1)) / (n - 1) < 0.35, by_v[0]
+    assert all(abs(by_v[v]) < 1e-9 for v in range(1, n))
+
+
+def test_harmonic_fixpoint_terms_are_zero(spark):
+    # diameter-3 graph: extra hops past the fixpoint change nothing
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    g = Graph.from_edgelist(
+        spark.createDataFrame(edges, "src long, dst long"),
+        directed=True, renumber=False,
+    )
+    a = sorted(
+        (r_.vertex, r_.harmonic_e)
+        for r_ in harmonic_centrality(
+            g, max_hops=4, num_registers=8, hash_mode="lcg"
+        ).collect()
+    )
+    b = sorted(
+        (r_.vertex, r_.harmonic_e)
+        for r_ in harmonic_centrality(
+            g, max_hops=16, num_registers=8, hash_mode="lcg"
+        ).collect()
+    )
+    assert a == b
