@@ -51,10 +51,15 @@ from .algorithms.anf import (
     neighborhood_function,
 )
 from .algorithms.link_prediction import (
+    adamic_adar,
+    cosine,
     jaccard,
     jaccard_w,
+    link_scores,
     overlap,
     overlap_w,
+    preferential_attachment,
+    resource_allocation,
     sorensen,
     sorensen_w,
 )
@@ -239,8 +244,11 @@ __all__ = [
     "hits",
     "hypergraph",
     "hyperplane_signatures",
+    "adamic_adar",
+    "cosine",
     "jaccard",
     "jaccard_w",
+    "link_scores",
     "k_truss",
     "ktruss_subgraph",
     "k_core",
@@ -275,6 +283,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "overlap",
     "overlap_w",
+    "preferential_attachment",
+    "resource_allocation",
     "maximum_spanning_tree",
     "minimum_spanning_tree",
     "pagerank",

@@ -167,3 +167,110 @@ def sorensen_w(graph: Graph, weights: DataFrame, vertex_pair: DataFrame | None =
     denom = F.col("wa") + F.col("wb")
     coeff = F.when(denom > 0, 2.0 * F.col("w_inter") / denom).otherwise(F.lit(0.0))
     return _finish(graph, d, coeff, "sorensen_coeff")
+
+
+# --- beyond-reference coefficients -------------------------------------------
+# Adamic-Adar / resource allocation (Zhou-Lu-Zhang 2009) / preferential
+# attachment / cosine — the standard common-neighbor link-prediction family
+# the fork stops short of (it ships only jaccard/overlap/sorensen; upstream
+# cuGraph later added cosine). Same wedge-count physical plan as
+# _pair_common_neighbors, but the common neighbor w is kept as a row (inner
+# join instead of leftsemi) so its degree can weight the sum:
+#     adamic_adar           = sum_w 1 / ln(deg(w))
+#     resource_allocation   = sum_w 1 / deg(w)
+#     preferential_attachment = deg(u) * deg(v)
+#     cosine                = |∩| / sqrt(deg(u) * deg(v))
+# ``link_scores`` exposes the EXACT-INTEGER building blocks (cn, pa,
+# ra_e9 = sum_w 1e9 DIV deg(w)) so the driver oracle replays them
+# bit-for-bit; the coefficient APIs derive the float columns from them.
+
+RA_SCALE = 1_000_000_000
+
+
+def _pair_cn_degree_scores(graph: Graph, vertex_pair: DataFrame | None):
+    """(first, second, cn, ra_e9, aa, deg_first, deg_second): per-pair
+    common-neighbor count plus degree-weighted sums over the common
+    neighbors (deg(w) >= 2 for any common neighbor, so ln(deg) > 0)."""
+    edges = graph.edges.select("src", "dst")
+    if graph.directed:
+        edges = symmetrize_edges(edges, weight=None, symmetrize=True)
+    edges = edges.filter(F.col("src") != F.col("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if vertex_pair is None:
+        pairs = upper_triangle(edges).select(
+            F.col("src").alias("first"), F.col("dst").alias("second")
+        )
+    else:
+        pairs = vertex_pair.select("first", "second")
+    deg = edges.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("deg"))
+    a = edges.select(F.col("src").alias("first"), F.col("dst").alias("nbr"))
+    b = edges.select(F.col("src").alias("second"), F.col("dst").alias("nbr"))
+    cn = (
+        pairs.join(a, on="first")
+        .join(b, on=["second", "nbr"])
+        .join(deg.select(F.col("vertex").alias("nbr"), F.col("deg").alias("d_n")), on="nbr")
+        .groupBy("first", "second")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(F.expr(f"{RA_SCALE} DIV d_n")).alias("ra_e9"),
+            F.sum(F.lit(1.0) / F.log(F.col("d_n").cast("double"))).alias("aa"),
+        )
+    )
+    return (
+        pairs.join(cn, on=["first", "second"], how="left")
+        .fillna(0, subset=["cn", "ra_e9"])
+        .fillna(0.0, subset=["aa"])
+        .join(deg.select(F.col("vertex").alias("first"), F.col("deg").alias("deg_first")), on="first", how="left")
+        .join(deg.select(F.col("vertex").alias("second"), F.col("deg").alias("deg_second")), on="second", how="left")
+        .fillna(0, subset=["deg_first", "deg_second"])
+    )
+
+
+def link_scores(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, cn, pa, ra_e9] — exact-integer link-prediction
+    building blocks (driver-oracle surface). ``ra_e9`` uses integer division
+    (1e9 DIV deg) so both engines compute identical BIGINTs."""
+    d = _pair_cn_degree_scores(graph, vertex_pair)
+    out = d.select(
+        F.col("first").alias("source"),
+        F.col("second").alias("destination"),
+        F.col("cn").cast("long").alias("cn"),
+        (F.col("deg_first") * F.col("deg_second")).cast("long").alias("pa"),
+        F.col("ra_e9").cast("long").alias("ra_e9"),
+    )
+    if graph.renumbered:
+        out = graph.unrenumber(graph.unrenumber(out, "source"), "destination")
+    return out
+
+
+def adamic_adar(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, adamic_adar_coeff]."""
+    d = _pair_cn_degree_scores(graph, vertex_pair)
+    return _finish(graph, d, F.col("aa"), "adamic_adar_coeff")
+
+
+def resource_allocation(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, resource_allocation_coeff]."""
+    d = _pair_cn_degree_scores(graph, vertex_pair)
+    return _finish(
+        graph, d, F.col("ra_e9").cast("double") / F.lit(float(RA_SCALE)),
+        "resource_allocation_coeff",
+    )
+
+
+def preferential_attachment(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, preferential_attachment_coeff] (exact long)."""
+    d = _pair_cn_degree_scores(graph, vertex_pair)
+    return _finish(
+        graph, d, (F.col("deg_first") * F.col("deg_second")).cast("long"),
+        "preferential_attachment_coeff",
+    )
+
+
+def cosine(graph: Graph, vertex_pair: DataFrame | None = None) -> DataFrame:
+    """DF[source, destination, cosine_coeff] — |∩| / sqrt(deg(u)·deg(v))."""
+    d = _pair_cn_degree_scores(graph, vertex_pair)
+    denom = F.sqrt((F.col("deg_first") * F.col("deg_second")).cast("double"))
+    coeff = F.when(denom > 0, F.col("cn") / denom).otherwise(F.lit(0.0))
+    return _finish(graph, d, coeff, "cosine_coeff")

@@ -3344,3 +3344,39 @@ def _harmonic_oracle() -> str:
 
 QUERIES["harmonic"] = q_harmonic
 ORACLES["harmonic"] = _harmonic_oracle()
+
+
+# --- link-prediction extras ---------------------------------------------------
+# Adamic-Adar / resource-allocation / preferential-attachment / cosine family
+# (algorithms/link_prediction.py link_scores): the driver row checks the
+# EXACT-INTEGER building blocks — common-neighbor count, deg(u)*deg(v), and
+# sum_w (1e9 DIV deg(w)) — from which every float coefficient derives.
+
+
+def q_linkpred_extra(spark, sf_dir):
+    from .algorithms.link_prediction import link_scores
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return link_scores(g)
+
+
+ORACLES["linkpred_extra"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    pairs AS (SELECT src AS f, dst AS s FROM sym WHERE src <= dst),
+    cn AS (SELECT p.f, p.s, count(*) AS cn,
+                  CAST(sum(1000000000 // dn.d) AS BIGINT) AS ra_e9
+           FROM pairs p JOIN sym a ON a.src = p.f JOIN sym b ON b.src = p.s AND b.dst = a.dst
+           JOIN deg dn ON dn.v = a.dst
+           GROUP BY p.f, p.s)
+    SELECT p.f AS source, p.s AS destination,
+           CAST(coalesce(cn.cn, 0) AS BIGINT) AS cn,
+           CAST(da.d * db.d AS BIGINT) AS pa,
+           CAST(coalesce(cn.ra_e9, 0) AS BIGINT) AS ra_e9
+    FROM pairs p
+    JOIN deg da ON p.f = da.v JOIN deg db ON p.s = db.v
+    LEFT JOIN cn ON p.f = cn.f AND p.s = cn.s
+"""
+QUERIES["linkpred_extra"] = q_linkpred_extra

@@ -151,3 +151,65 @@ def test_from_pandas_and_numpy(spark):
     g2 = from_numpy_array(spark, a, directed=True)
     got = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
     assert got == {(0, 1): 1.0, (1, 0): 2.0}
+
+
+def test_linkpred_extras_karate(spark):
+    """Adamic-Adar / resource-allocation / preferential-attachment / cosine
+    vs a pure-Python brute force over the karate neighbor sets."""
+    import math
+
+    from linkgraph import (
+        adamic_adar,
+        cosine,
+        link_scores,
+        preferential_attachment,
+        resource_allocation,
+    )
+
+    g = Graph.from_edgelist(
+        load_csv_edges(spark, "karate.csv"), weight="weight",
+        renumber=False, directed=False,
+    )
+    adj = _nbrs(g)
+    aa = {(r.source, r.destination): r.adamic_adar_coeff
+          for r in adamic_adar(g).collect()}
+    ra = {(r.source, r.destination): r.resource_allocation_coeff
+          for r in resource_allocation(g).collect()}
+    pa = {(r.source, r.destination): r.preferential_attachment_coeff
+          for r in preferential_attachment(g).collect()}
+    co = {(r.source, r.destination): r.cosine_coeff for r in cosine(g).collect()}
+    ls = {(r.source, r.destination): (r.cn, r.pa, r.ra_e9)
+          for r in link_scores(g).collect()}
+    assert len(aa) == 78 and len(ls) == 78
+    for (u, v) in aa:
+        common = adj[u] & adj[v]
+        du, dv = len(adj[u]), len(adj[v])
+        assert abs(aa[(u, v)] - sum(1.0 / math.log(len(adj[w])) for w in common)) < 1e-9
+        assert abs(ra[(u, v)] - sum(1.0 / len(adj[w]) for w in common)) < 1e-6
+        assert pa[(u, v)] == du * dv
+        assert abs(co[(u, v)] - (len(common) / math.sqrt(du * dv))) < 1e-9
+        assert ls[(u, v)] == (
+            len(common), du * dv,
+            sum(1_000_000_000 // len(adj[w]) for w in common),
+        )
+
+
+def test_linkpred_extras_explicit_pairs(spark):
+    """Non-adjacent pairs (the actual link-prediction use) and zero-cn pairs."""
+    from linkgraph import adamic_adar, link_scores
+
+    edges = [(0, 1), (0, 2), (3, 1), (3, 2), (4, 5)]
+    g = Graph.from_edgelist(
+        spark.createDataFrame(edges, "src long, dst long"),
+        directed=False, renumber=False,
+    )
+    pairs = spark.createDataFrame([(0, 3), (0, 4)], "first long, second long")
+    got = {(r.source, r.destination): r.adamic_adar_coeff
+           for r in adamic_adar(g, pairs).collect()}
+    import math
+    assert abs(got[(0, 3)] - 2 / math.log(2)) < 1e-9  # common nbrs 1,2 (deg 2)
+    assert got[(0, 4)] == 0.0
+    ls = {(r.source, r.destination): (r.cn, r.pa, r.ra_e9)
+          for r in link_scores(g, pairs).collect()}
+    assert ls[(0, 3)] == (2, 4, 2 * (1_000_000_000 // 2))
+    assert ls[(0, 4)] == (0, 2 * 1, 0)  # deg(0)=2, deg(4)=1
