@@ -179,6 +179,8 @@ from .algorithms.triangles import clustering_coefficient, triangle_counts
 from .text.pipeline import (
     bloom_decontaminate,
     decontaminate,
+    dsir_gumbel_topk,
+    dsir_weights,
     pii_redact,
     shard_assignment,
     shard_plan,
@@ -314,6 +316,8 @@ __all__ = [
     "pii_redact",
     "decontaminate",
     "bloom_decontaminate",
+    "dsir_gumbel_topk",
+    "dsir_weights",
     "stratified_sample",
     "shard_assignment",
     "shard_plan",

@@ -3380,3 +3380,84 @@ ORACLES["linkpred_extra"] = f"""
     LEFT JOIN cn ON p.f = cn.f AND p.s = cn.s
 """
 QUERIES["linkpred_extra"] = q_linkpred_extra
+
+
+# --- DSIR importance weights --------------------------------------------------
+# Xie et al. 2023 data-selection weights (text/pipeline.py dsir_weights).
+# The query scores every document against a deterministic in-corpus target
+# slice and writes the B-row bucket model (bucket, ct, cr, s_e) to the
+# sidecar. The oracle re-derives the hashed-ngram bucket counts FROM SCRATCH
+# (same char-LCG fold the minhash oracle replays), dots them with the
+# sidecar's integer score column, and emits loud guard rows if the
+# sidecar's ct/cr count tables disagree with its own re-derivation — so
+# everything except the driver-side log() evaluation is value-checked.
+
+DSIR_BUCKETS, DSIR_NMAX = 256, 2
+
+
+def q_doc_dsir(spark, sf_dir):
+    import os
+
+    import pandas as pd
+
+    from .text.pipeline import dsir_weights
+
+    d = _documents(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % 97 == 0)
+    weights, buckets = dsir_weights(
+        d, target, num_buckets=DSIR_BUCKETS, alpha=1.0, n_max=DSIR_NMAX
+    )
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    pd.DataFrame(buckets, columns=["bucket", "ct", "cr", "s_e"]).to_parquet(
+        f"{SIDECAR_DIR}/dsir_buckets.parquet", index=False
+    )
+    return weights.select("doc_id", "dsir_w_e")
+
+
+def _dsir_oracle() -> str:
+    from .text.dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    gram_selects = " UNION ALL ".join(
+        f"SELECT doc_id, array_to_string(w[i:i+{n-1}], ' ') AS g FROM "
+        f"(SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - {n-1}, 1))) AS i "
+        f"FROM words)"
+        for n in range(1, DSIR_NMAX + 1)
+    )
+    return f"""
+    WITH words AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS w
+                                FROM documents),
+    grams AS MATERIALIZED (SELECT doc_id, g FROM ({gram_selects}) WHERE length(g) > 0),
+    cnts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    chpos AS (SELECT doc_id, g, c,
+                     unnest(generate_series(1, length(g))) AS i
+              FROM cnts),
+    codes AS (SELECT doc_id, g, c,
+                     sum(ascii(substring(g, i, 1)) *
+                         (({MH_LCG_A}::BIGINT * i + {MH_LCG_B}) % {MH_LCG_P}))
+                       % {MH_LCG_P} AS code
+              FROM chpos GROUP BY doc_id, g, c),
+    docbuckets AS MATERIALIZED (
+        SELECT doc_id, code % {DSIR_BUCKETS} AS bucket, sum(c) AS cnt
+        FROM codes GROUP BY doc_id, code % {DSIR_BUCKETS}),
+    side AS (SELECT bucket, ct, cr, s_e
+             FROM read_parquet('{SIDECAR_DIR}/dsir_buckets.parquet')),
+    dots AS (SELECT doc_id, CAST(sum(cnt * s.s_e) AS BIGINT) AS dsir_w_e
+             FROM docbuckets d JOIN side s USING (bucket) GROUP BY doc_id),
+    cr_check AS (SELECT bucket, sum(cnt) AS tot FROM docbuckets GROUP BY bucket),
+    ct_check AS (SELECT bucket, sum(cnt) AS tot FROM docbuckets
+                 WHERE doc_id % 97 = 0 GROUP BY bucket),
+    guard AS (
+        SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-999999999 AS BIGINT) AS dsir_w_e
+        FROM side s
+        LEFT JOIN cr_check r ON s.bucket = r.bucket
+        LEFT JOIN ct_check t ON s.bucket = t.bucket
+        WHERE coalesce(r.tot, 0) <> s.cr OR coalesce(t.tot, 0) <> s.ct)
+    SELECT d.doc_id, coalesce(dots.dsir_w_e, 0) AS dsir_w_e
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN dots ON d.doc_id = dots.doc_id
+    UNION ALL SELECT doc_id, dsir_w_e FROM guard
+    """
+
+
+QUERIES["doc_dsir"] = q_doc_dsir
+ORACLES["doc_dsir"] = _dsir_oracle()

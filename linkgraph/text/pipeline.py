@@ -322,3 +322,173 @@ def bloom_decontaminate(
         )
     )
     return out
+
+
+# --- DSIR: data selection via importance resampling ---------------------------
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): fit bag-of-hashed-ngram unigram models on a small TARGET
+# corpus and on the RAW corpus, then score every raw document by its log
+# importance weight
+#     log w(doc) = sum_b count_b(doc) * (log p_target[b] - log p_raw[b])
+# over B hash buckets, and resample proportionally. The bucket models are
+# B-row aggregates (B ~ 1e4 in the paper), so the whole estimator is two
+# corpus passes + one broadcast map — the canonical pretraining-data
+# selection op.
+#
+# Exactness: n-gram -> integer codes reuse minhash's character LCG fold
+# (dedup.py minhash_lcg_buckets — replicable operator-for-operator in SQL);
+# the per-bucket integer score table s_e = round(1e6 * log-ratio) is
+# computed ONCE driver-side from the two collected count tables and shipped
+# to both engines (sidecar parquet for the oracle), so every per-document
+# weight is an exact BIGINT dot product. The oracle re-derives the ct/cr
+# count tables from scratch and fails loudly if they disagree with the
+# sidecar — only the log() evaluation itself is python-only.
+
+DSIR_SCALE = 1_000_000
+_DSIR_MAX_BUCKETS = 1 << 20  # driver holds 4 small columns per bucket
+
+
+def _ngram_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_max: int,
+    num_buckets: int,
+) -> DataFrame:
+    """DF[id, bucket, cnt] — hashed word n-gram OCCURRENCE counts for
+    n = 1..n_max (word_shingles' slice convention: documents shorter than n
+    words contribute their full text once per n). Entirely built-in
+    expressions; the fold runs once per distinct (doc, gram) pair."""
+    from .dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    w = F.split(F.trim(text_col), " ")
+    grams = None
+    for n in range(1, n_max + 1):
+        gn = (
+            df.select(id_col, w.alias("w"))
+            .select(
+                id_col,
+                F.explode(
+                    F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1)))
+                ).alias("i"),
+                "w",
+            )
+            .select(id_col, F.concat_ws(" ", F.slice("w", F.col("i"), n)).alias("g"))
+        )
+        grams = gn if grams is None else grams.unionByName(gn)
+    per_gram = (
+        grams.filter(F.length("g") > 0)
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    code = F.expr(
+        f"aggregate(sequence(1, length(g)), cast(0 as bigint), (acc, i) -> "
+        f"(acc + ascii(substring(g, i, 1)) * "
+        f"((cast({MH_LCG_A} as bigint) * i + {MH_LCG_B}) % {MH_LCG_P})) % {MH_LCG_P})"
+    )
+    return (
+        per_gram.select(id_col, (code % num_buckets).alias("bucket"), "c")
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+    n_max: int = 2,
+):
+    """Returns ``(weights, buckets)``: per-document DSIR importance weights
+    ``DF[id, dsir_w_e, dsir_logw]`` (``dsir_w_e`` the exact scaled-integer
+    dot product, ``dsir_logw = dsir_w_e / 1e6``) and the B-row bucket model
+    table ``[(bucket, ct, cr, s_e), ...]`` used to score (for audit /
+    oracle sidecar).
+
+    Physical plan: one corpus n-gram pass + one target n-gram pass (each a
+    map-side-combined hash agg), a B-row collect per side, then ONE
+    broadcast join + hash agg over the corpus's (doc, bucket) counts. The
+    corpus is never shuffled on anything wider than (doc, bucket)."""
+    import math
+
+    if not 1 <= num_buckets <= _DSIR_MAX_BUCKETS:
+        raise ValueError(f"num_buckets must be in [1, {_DSIR_MAX_BUCKETS}]")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing)")
+    spark = corpus.sparkSession
+    doc_counts = _ngram_bucket_counts(
+        corpus, text_col, id_col, n_max, num_buckets
+    ).persist()
+    cr = {
+        r["bucket"]: r["tot"]
+        for r in doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("tot")).collect()
+    }
+    ct = {
+        r["bucket"]: r["tot"]
+        for r in _ngram_bucket_counts(target, text_col, id_col, n_max, num_buckets)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tot"))
+        .collect()
+    }
+    Ct = sum(ct.values()) + alpha * num_buckets
+    Cr = sum(cr.values()) + alpha * num_buckets
+    buckets = [
+        (
+            b,
+            int(ct.get(b, 0)),
+            int(cr.get(b, 0)),
+            int(round(DSIR_SCALE * (
+                math.log((ct.get(b, 0) + alpha) / Ct)
+                - math.log((cr.get(b, 0) + alpha) / Cr)
+            ))),
+        )
+        for b in range(num_buckets)
+    ]
+    stable = spark.createDataFrame(buckets, "bucket long, ct long, cr long, s_e long")
+    dots = (
+        doc_counts.join(F.broadcast(stable.select("bucket", "s_e")), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("s_e")).alias("dsir_w_e"))
+    )
+    weights = (
+        corpus.select(id_col)
+        .distinct()
+        .join(dots, on=id_col, how="left")
+        .fillna(0, subset=["dsir_w_e"])
+        .select(
+            id_col,
+            "dsir_w_e",
+            (F.col("dsir_w_e") / F.lit(float(DSIR_SCALE))).alias("dsir_logw"),
+        )
+    )
+    doc_counts.unpersist()
+    return weights, buckets
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log-weights (the paper's sampler):
+    perturb logw/T with deterministic LCG-seeded Gumbel noise, take the k
+    largest. Distributed partial top-k (TakeOrdered) — the driver holds k
+    rows, so k must be driver-bounded; for corpus-scale selections use a
+    threshold filter on ``dsir_logw`` instead."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    u = (_lcg(F.col(id_col) + F.lit(seed)) + 1.0) / float(LCG_M + 1)
+    gumbel = -F.log(-F.log(u))
+    key = F.col("dsir_logw") / F.lit(temperature) + gumbel
+    return (
+        weights.select(id_col, "dsir_w_e", "dsir_logw", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -154,3 +154,117 @@ def test_bloom_decontaminate_empty_benchmark(docs, spark):
     out = bloom_decontaminate(docs, bench, n=5)
     assert out.filter(F.col("contaminated") != 0).count() == 0
     assert out.count() == docs.count()
+
+
+# --- DSIR -----------------------------------------------------------------
+
+
+def _py_dsir(corpus, target, num_buckets, alpha, n_max):
+    """Pure-Python replay of dsir_weights (exact ints)."""
+    import math
+
+    A, B, P = 1103515245, 12345, 2147483647
+
+    def code(g):
+        acc = 0
+        for i, ch in enumerate(g, start=1):
+            acc = (acc + ord(ch) * ((A * i + B) % P)) % P
+        return acc
+
+    def buckets_of(text):
+        words = text.strip().split(" ")
+        out = {}
+        for n in range(1, n_max + 1):
+            hi = max(len(words) - (n - 1), 1)
+            for i in range(hi):
+                g = " ".join(words[i:i + n])
+                if g:
+                    b = code(g) % num_buckets
+                    out[b] = out.get(b, 0) + 1
+        return out
+
+    cr, ct = {}, {}
+    per_doc = {}
+    for doc_id, text in corpus:
+        bs = buckets_of(text)
+        per_doc[doc_id] = bs
+        for b, c in bs.items():
+            cr[b] = cr.get(b, 0) + c
+    for _, text in target:
+        for b, c in buckets_of(text).items():
+            ct[b] = ct.get(b, 0) + c
+    Ct = sum(ct.values()) + alpha * num_buckets
+    Cr = sum(cr.values()) + alpha * num_buckets
+    s = {
+        b: int(round(1_000_000 * (
+            math.log((ct.get(b, 0) + alpha) / Ct)
+            - math.log((cr.get(b, 0) + alpha) / Cr)
+        )))
+        for b in range(num_buckets)
+    }
+    return {
+        doc_id: sum(c * s[b] for b, c in bs.items())
+        for doc_id, bs in per_doc.items()
+    }
+
+
+def test_dsir_weights_match_python_replay(spark):
+    from linkgraph.text.pipeline import dsir_weights
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "spark shuffles the hash join"),
+        (2, "the cat chased the spark"),
+        (3, "mat cat the on sat"),
+        (4, "join order scan window batch"),
+    ]
+    target = [(0, "the cat sat on the mat"), (2, "the cat chased the spark")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    w, buckets = dsir_weights(cdf, tdf, num_buckets=64, alpha=1.0, n_max=2)
+    got = {r.doc_id: r.dsir_w_e for r in w.collect()}
+    want = _py_dsir(corpus, target, 64, 1.0, 2)
+    assert got == want
+    # target-like docs must outrank the unrelated one
+    assert got[0] > got[4] and got[2] > got[4]
+    # bucket table is complete and its counts cover every gram occurrence:
+    # n words yield n unigrams + max(n-1, 1) bigrams under the shingle rule
+    assert len(buckets) == 64 and [b[0] for b in buckets] == list(range(64))
+    n_grams = sum(
+        len(t.split()) + max(len(t.split()) - 1, 1) for _, t in corpus
+    )
+    assert sum(b[2] for b in buckets) == n_grams
+    n_target = sum(
+        len(t.split()) + max(len(t.split()) - 1, 1) for _, t in target
+    )
+    assert sum(b[1] for b in buckets) == n_target
+
+
+def test_dsir_gumbel_topk_deterministic(spark):
+    from linkgraph.text.pipeline import dsir_gumbel_topk, dsir_weights
+
+    corpus = [(i, f"w{i} w{(i*3) % 7} w{(i*5) % 11} common words here") for i in range(30)]
+    target = [(0, "common words here w1 w2")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    w, _ = dsir_weights(cdf, tdf, num_buckets=32)
+    a = [r.doc_id for r in dsir_gumbel_topk(w, 5, seed=7).collect()]
+    b = [r.doc_id for r in dsir_gumbel_topk(w, 5, seed=7).collect()]
+    assert a == b and len(a) == 5
+    c = [r.doc_id for r in dsir_gumbel_topk(w, 5, seed=8).collect()]
+    assert len(c) == 5  # different seed still yields a full, valid sample
+
+
+def test_dsir_validation(spark):
+    from linkgraph.text.pipeline import dsir_gumbel_topk, dsir_weights
+
+    cdf = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_weights(cdf, cdf, num_buckets=0)
+    with pytest.raises(ValueError):
+        dsir_weights(cdf, cdf, alpha=0.0)
+    w, _ = dsir_weights(cdf, cdf, num_buckets=8)
+    with pytest.raises(ValueError):
+        dsir_gumbel_topk(w, 0)
+    with pytest.raises(ValueError):
+        dsir_gumbel_topk(w, 1, temperature=0.0)
