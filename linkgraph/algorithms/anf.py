@@ -246,6 +246,7 @@ def harmonic_centrality(
     hash_mode: str = "xxhash",
     mode: str = "in",
     num_partitions: int | None = None,
+    hop_timings: list | None = None,
 ) -> DataFrame:
     """DF[vertex, harmonic_e, harmonic] — HyperBall harmonic centrality.
 
@@ -297,8 +298,11 @@ def harmonic_centrality(
     )
     score_ck = score
     total_prev = score.agg(F.sum("rt").alias("rt")).collect()[0]["rt"]
+    import time as _time
+
     with no_aqe(spark):
         for t in range(1, max_hops + 1):
+            _t0 = _time.time()
             msgs = edges_t.join(
                 _state(state.select(F.col("vertex").alias("dst"), "j", "mask"), "dst"),
                 on="dst",
@@ -329,6 +333,8 @@ def harmonic_centrality(
                 eager=False,
             )
             total = new_score.agg(F.sum("rt").alias("rt")).collect()[0]["rt"]
+            if hop_timings is not None:
+                hop_timings.append(_time.time() - _t0)
             release_plan(state_ck)
             release_plan(score_ck)
             state = state_ck = new

@@ -64,6 +64,13 @@ def _run_algo_steady(algo: str, g, rounds: int) -> list:
 
         res, _q = louvain(g, max_iter=rounds, max_levels=1, round_timings=ts)
         res.count()
+    elif algo == "harmonic":
+        from linkgraph.algorithms.anf import harmonic_centrality
+
+        # each hop is one full-E join + BIT_OR agg + V-row score fold —
+        # identical work per hop at every level
+        harmonic_centrality(g, max_hops=rounds, num_registers=8,
+                            hop_timings=ts).count()
     else:
         raise ValueError(f"no steady mode for {algo}")
     return ts
@@ -85,6 +92,10 @@ def _run_algo(algo: str, g) -> None:
         # the measurement is the move-pass superstep, not level recursion
         res, _q = louvain(g, max_iter=4, max_levels=1)
         res.count()
+    elif algo == "harmonic":
+        from linkgraph.algorithms.anf import harmonic_centrality
+
+        harmonic_centrality(g, max_hops=4, num_registers=8).count()
     else:
         raise ValueError(algo)
 
@@ -97,7 +108,7 @@ def child(algo: str, cpus: int, scale: int, sp: int,
     from linkgraph.session import get_spark
     from linkgraph.structure.graph import Graph
 
-    directed = algo == "scc"
+    directed = algo in ("scc", "harmonic")
     spark = get_spark(
         app_name=f"algo-scaling-{algo}-{cpus}",
         master=f"local[{cpus}]",
