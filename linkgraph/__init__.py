@@ -46,6 +46,7 @@ from .algorithms.katz import KatzConvergenceError, katz_centrality
 from .algorithms.hits import hits
 from .algorithms.salsa import salsa
 from .algorithms.anf import (
+    closeness_centrality,
     effective_diameter,
     harmonic_centrality,
     neighborhood_function,
@@ -228,6 +229,7 @@ __all__ = [
     "audio_features",
     "cosine_topk",
     "decode_image_stats",
+    "closeness_centrality",
     "effective_diameter",
     "harmonic_centrality",
     "ego_graph",

@@ -293,7 +293,11 @@ def harmonic_centrality(
     score = truncate_plan(
         state.groupBy("vertex")
         .agg(F.sum(_lowest_zero_pos(F.col("mask"))).alias("rt"))
-        .select("vertex", "rt", ball.alias("ball"), F.lit(0).cast("long").alias("acc")),
+        .select(
+            "vertex", "rt", ball.alias("ball"),
+            F.lit(0).cast("long").alias("acc"),
+            F.lit(0).cast("long").alias("sumdist_e"),
+        ),
         eager=False,
     )
     score_ck = score
@@ -317,9 +321,14 @@ def harmonic_centrality(
                 F.sum(_lowest_zero_pos(F.col("mask"))).alias("rt")
             )
             new_score = truncate_plan(
-                score.select("vertex", F.col("ball").alias("ball_prev"), "acc")
+                score.select(
+                    "vertex", F.col("ball").alias("ball_prev"), "acc", "sumdist_e"
+                )
                 .join(per_v, on="vertex")
-                .select("vertex", "rt", ball.alias("ball"), "ball_prev", "acc")
+                .select(
+                    "vertex", "rt", ball.alias("ball"), "ball_prev", "acc",
+                    "sumdist_e",
+                )
                 .select(
                     "vertex",
                     "rt",
@@ -329,6 +338,10 @@ def harmonic_centrality(
                         + (F.col("ball") - F.col("ball_prev"))
                         * F.lit(harm_weight(t))
                     ).cast("long").alias("acc"),
+                    (
+                        F.col("sumdist_e")
+                        + (F.col("ball") - F.col("ball_prev")) * F.lit(t)
+                    ).cast("long").alias("sumdist_e"),
                 ),
                 eager=False,
             )
@@ -348,11 +361,43 @@ def harmonic_centrality(
         (
             F.col("acc") / F.lit(float(POW2_FRAC_SCALE) * HARM_W_SCALE * FM_PHI)
         ).alias("harmonic"),
+        F.col("sumdist_e"),
+        F.col("ball").alias("ball_e6"),
     )
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
     edges_t.unpersist()
     return out
+
+
+def closeness_centrality(
+    graph: Graph,
+    max_hops: int = 16,
+    num_registers: int = 8,
+    seed: int = 42,
+    hash_mode: str = "xxhash",
+    mode: str = "in",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DF[vertex, sumdist_e, ball_e6, lin] — Lin's-index closeness from the
+    same HyperBall pass (Boldi & Vigna 2013 §2: plain closeness is
+    degenerate on graphs that are not strongly connected; Lin's index
+    c(v) = |R(v)|² / sum_{u in R(v)} d(u, v) weights by the reachable-set
+    size instead). ``sumdist_e`` = sum_t t·(ball_e6(t) − ball_e6(t−1)) and
+    ``ball_e6`` (the final reachable-ball estimate) are exact BIGINTs —
+    the driver oracle replays both; ``lin`` is the derived float index
+    (1.0 for sketch-isolated vertices, the paper's convention)."""
+    hc = harmonic_centrality(
+        graph, max_hops=max_hops, num_registers=num_registers, seed=seed,
+        hash_mode=hash_mode, mode=mode, num_partitions=num_partitions,
+    )
+    scale = float(POW2_FRAC_SCALE) * FM_PHI
+    reach = F.col("ball_e6") / F.lit(scale)  # ~ |R(v)| incl. v itself
+    sumd = F.col("sumdist_e") / F.lit(scale)  # ~ sum of distances (hops)
+    lin = F.when(F.col("sumdist_e") <= 0, F.lit(1.0)).otherwise(
+        reach * reach / sumd
+    )
+    return hc.select("vertex", "sumdist_e", "ball_e6", lin.alias("lin"))
 
 
 def effective_diameter(

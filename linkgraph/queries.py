@@ -3289,7 +3289,7 @@ def q_harmonic(spark, sf_dir):
     return out.select("vertex", "harmonic_e")
 
 
-def _harmonic_oracle() -> str:
+def _harmonic_oracle(select: str = "harmonic") -> str:
     from .algorithms.anf import (
         LCG_A, LCG_C, LCG_J, LCG_M, LCG_TZ_CAP, harm_weight, pow2_frac_table,
     )
@@ -3335,15 +3335,37 @@ def _harmonic_oracle() -> str:
         for k in range(1, ANF_HOPS + 1)
     )
     joins = " ".join(f"JOIN b{k} USING (v)" for k in range(1, ANF_HOPS + 1))
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT b0.v AS vertex, CAST({terms} AS BIGINT) AS harmonic_e "
-        + f"FROM b0 {joins}"
+    if select == "harmonic":
+        final = f"SELECT b0.v AS vertex, CAST({terms} AS BIGINT) AS harmonic_e "
+    else:  # closeness: exact sum-of-distances + final reachable ball
+        sumterms = " + ".join(
+            f"(b{k}.ball - b{k-1}.ball) * {k}" for k in range(1, ANF_HOPS + 1)
+        )
+        final = (
+            f"SELECT b0.v AS vertex, CAST({sumterms} AS BIGINT) AS sumdist_e, "
+            f"CAST(b{ANF_HOPS}.ball AS BIGINT) AS ball_e6 "
+        )
+    return ",\n".join(parts) + "\n" + final + f"FROM b0 {joins}"
+
+
+def q_closeness(spark, sf_dir):
+    """Lin's-index closeness (algorithms/anf.py closeness_centrality) —
+    same HyperBall replay as `harmonic`, checking the exact-integer
+    sum-of-distances accumulator and the final reachable-ball estimate."""
+    from .algorithms.anf import closeness_centrality
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    out = closeness_centrality(
+        g, max_hops=ANF_HOPS, num_registers=ANF_REGS, seed=ANF_SEED,
+        hash_mode="lcg", mode="in",
     )
+    return out.select("vertex", "sumdist_e", "ball_e6")
 
 
 QUERIES["harmonic"] = q_harmonic
 ORACLES["harmonic"] = _harmonic_oracle()
+QUERIES["closeness"] = q_closeness
+ORACLES["closeness"] = _harmonic_oracle(select="closeness")
 
 
 # --- link-prediction extras ---------------------------------------------------

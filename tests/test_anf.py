@@ -128,6 +128,7 @@ def _replay_harmonic(edges, n, r, seed, max_hops, mode):
 
     prev = {v: ball(v) for v in range(n)}
     acc = {v: 0 for v in range(n)}
+    sumdist = {v: 0 for v in range(n)}
     for t in range(1, max_hops + 1):
         new = {}
         for v in range(n):
@@ -141,8 +142,9 @@ def _replay_harmonic(edges, n, r, seed, max_hops, mode):
         for v in range(n):
             b = ball(v)
             acc[v] += (b - prev[v]) * w_t
+            sumdist[v] += (b - prev[v]) * t
             prev[v] = b
-    return acc
+    return acc, sumdist
 
 
 def test_harmonic_matches_pure_python_replay(spark):
@@ -154,14 +156,14 @@ def test_harmonic_matches_pure_python_replay(spark):
     sdf = spark.createDataFrame(edges, "src long, dst long")
     for mode in ("in", "out"):
         g = Graph.from_edgelist(sdf, directed=True, renumber=False)
-        got = {
-            r_.vertex: r_.harmonic_e
-            for r_ in harmonic_centrality(
-                g, max_hops=6, num_registers=4, seed=42, hash_mode="lcg", mode=mode
-            ).collect()
-        }
-        want = _replay_harmonic(edges, n, 4, 42, 6, mode)
+        rows = harmonic_centrality(
+            g, max_hops=6, num_registers=4, seed=42, hash_mode="lcg", mode=mode
+        ).collect()
+        got = {r_.vertex: r_.harmonic_e for r_ in rows}
+        got_sd = {r_.vertex: r_.sumdist_e for r_ in rows}
+        want, want_sd = _replay_harmonic(edges, n, 4, 42, 6, mode)
         assert got == want, mode
+        assert got_sd == want_sd, mode
 
 
 def test_harmonic_star_hub_ranks_first(spark):
@@ -202,3 +204,29 @@ def test_harmonic_fixpoint_terms_are_zero(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_closeness_lin_index_properties(spark):
+    from linkgraph.algorithms.anf import closeness_centrality
+
+    # star (leaves -> hub) plus one isolated vertex (id 40, via max+1 rule
+    # being exceeded intentionally with an explicit extra edgeless id):
+    n = 40
+    edges = [(i, 0) for i in range(1, n)] + [(41, 41)]  # self-loop: filtered
+    g = Graph.from_edgelist(
+        spark.createDataFrame(edges, "src long, dst long"),
+        directed=True, renumber=False,
+    )
+    rows = closeness_centrality(
+        g, max_hops=4, num_registers=64, hash_mode="xxhash", mode="in"
+    ).collect()
+    by_v = {r.vertex: r for r in rows}
+    assert len(by_v) == 42  # max+1 vertex universe
+    # nothing reaches a leaf -> sketch never grows -> Lin convention 1.0
+    assert by_v[1].sumdist_e == 0 and by_v[1].lin == 1.0
+    # the hub is reached by all 39 leaves at distance 1: highest Lin index
+    hub = by_v[0]
+    assert hub.sumdist_e > 0
+    assert hub.lin == max(r.lin for r in rows)
+    # hub: reach ~ 40, sumdist ~ 39 -> lin ~ 40^2/39 ~ 41
+    assert 25.0 < hub.lin < 60.0, hub.lin
