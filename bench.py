@@ -98,6 +98,10 @@ def main() -> None:
                 g_rmat, fixed_iterations=RMAT_ITERS + 3, iteration_timings=ts
             ).count(),
         )
+        # r3 added doc_gopher/host_pagerank/doc_span_dedup/ppr; r4 adds
+        # harmonic (HyperBall distance centrality) and doc_dsir (data
+        # selection) — round-over-round comparisons stay like-for-like on
+        # the shared prefix, new queries are reported per-query.
         for name in (
             "doc_shingle_dups",
             "emb_topk",
@@ -106,6 +110,8 @@ def main() -> None:
             "host_pagerank",
             "doc_span_dedup",
             "ppr",
+            "harmonic",
+            "doc_dsir",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
         return timings, ts
