@@ -168,6 +168,7 @@ from . import comms, raft, utils
 from .raft import raft_include_test
 from .text.dedup import (
     exact_dedup,
+    line_dedup,
     minhash_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -179,6 +180,7 @@ from .text.dedup import (
 from .algorithms.triangles import clustering_coefficient, triangle_counts
 from .text.pipeline import (
     bloom_decontaminate,
+    c4_line_filter,
     decontaminate,
     dsir_gumbel_topk,
     dsir_weights,
@@ -313,9 +315,11 @@ __all__ = [
     "simhash_near_pairs",
     "simhash_signatures",
     "span_dedup",
+    "line_dedup",
     "triangle_counts",
     "clustering_coefficient",
     "pii_redact",
+    "c4_line_filter",
     "decontaminate",
     "bloom_decontaminate",
     "dsir_gumbel_topk",

@@ -3483,3 +3483,158 @@ def _dsir_oracle() -> str:
 
 QUERIES["doc_dsir"] = q_doc_dsir
 ORACLES["doc_dsir"] = _dsir_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-granularity pipeline (text/dedup.py line_dedup,
+# text/pipeline.py c4_line_filter). The synthetic documents carry no
+# newlines, so both queries derive a deterministic line structure first —
+# every aligned run of LINE_W words is one line — with the IDENTICAL
+# construction in Spark and DuckDB; the oracle then replays the operator
+# verbatim. Reference N/A (no text layer in the fork).
+# ---------------------------------------------------------------------------
+
+LINE_W = 8
+
+
+def _chunk_lines_col():
+    """Spark: array of LINE_W-word lines from the trimmed text column."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    nlines = F.expr(
+        f"(size(split(trim(text), ' ')) + {LINE_W - 1}) DIV {LINE_W}"
+    )
+    return F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * LINE_W + 1, LINE_W)),
+    )
+
+
+# DuckDB twin of _chunk_lines_col: ln(doc_id, i, line) with i starting at 0.
+_CHUNK_LINES_SQL = f"""
+    dw AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS w
+                        FROM documents),
+    ex AS MATERIALIZED (SELECT doc_id, w,
+            unnest(generate_series(0, (len(w) + {LINE_W - 1}) // {LINE_W} - 1)) AS i
+        FROM dw),
+    ln AS MATERIALIZED (SELECT doc_id, i,
+            array_to_string(w[i*{LINE_W}+1:i*{LINE_W}+{LINE_W}], ' ') AS line
+        FROM ex)
+"""
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4/RefinedWeb line pass): duplicated
+    lines keep only the canonical minimum-(doc, index) occurrence; docs
+    reassembled from survivors (text/dedup.py line_dedup)."""
+    from .text.dedup import line_dedup
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.array_join(_chunk_lines_col(), "\n").alias("text")
+    )
+    out = line_dedup(d, text_col="text", id_col="doc_id", min_chars=1)
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+ORACLES["doc_line_dedup"] = f"""
+    WITH {_CHUNK_LINES_SQL},
+    lp AS (SELECT doc_id AS doc, i + 1 AS i, line FROM ln),
+    nc AS (SELECT doc, i FROM (
+        SELECT doc, i,
+               row_number() OVER (PARTITION BY line ORDER BY doc, i) AS rn
+        FROM lp WHERE length(trim(line)) >= 1) WHERE rn > 1),
+    surv AS (SELECT l.doc, l.i, l.line FROM lp l
+             LEFT JOIN nc ON l.doc = nc.doc AND l.i = nc.i
+             WHERE nc.doc IS NULL),
+    reb AS (SELECT doc, string_agg(line, chr(10) ORDER BY i) AS txt,
+                   count(*) AS kept FROM surv GROUP BY doc),
+    nl AS (SELECT doc_id, count(*) AS n FROM ln GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(coalesce(r.txt, '')) AS dedup_md5,
+           CAST(nl.n AS BIGINT) AS n_lines,
+           CAST(nl.n - coalesce(r.kept, 0) AS BIGINT) AS n_removed
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    JOIN nl ON nl.doc_id = d.doc_id
+    LEFT JOIN reb r ON r.doc = d.doc_id
+"""
+
+QUERIES["doc_line_dedup"] = q_doc_line_dedup
+
+
+def q_doc_c4_filter(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020): terminal-punctuation +
+    min-word + blocklist line rules, min-surviving-lines + lorem-ipsum +
+    curly-brace page rules (text/pipeline.py c4_line_filter). Punctuation,
+    a 'javascript' token, and page-level blocklist lines are injected
+    deterministically from (doc_id, line index) so every rule branch fires
+    on the synthetic corpus — the identical injection runs in both
+    engines."""
+    from .text.pipeline import c4_line_filter
+
+    toks = F.split(F.trim(F.col("text")), " ")
+    nlines = F.expr(f"(size(split(trim(text), ' ')) + {LINE_W - 1}) DIV {LINE_W}")
+
+    def mk(i):
+        body = F.concat_ws(" ", F.slice(toks, i * LINE_W + 1, LINE_W))
+        key = F.col("doc_id") + i
+        body = F.when(key % 7 == 0, F.concat(body, F.lit(" javascript"))).otherwise(body)
+        return F.when(key % 3 != 2, F.concat(body, F.lit("."))).otherwise(body)
+
+    txt = F.array_join(F.transform(F.sequence(F.lit(0), nlines - 1), mk), "\n")
+    txt = (
+        F.when(F.col("doc_id") % 31 == 0, F.concat(txt, F.lit("\nlorem ipsum dolor")))
+        .when(F.col("doc_id") % 37 == 0, F.concat(txt, F.lit("\nfunction() {")))
+        .otherwise(txt)
+    )
+    d = _documents(spark, sf_dir).select("doc_id", txt.alias("text"))
+    out = c4_line_filter(d, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_kept",
+        "n_dropped",
+        "kept",
+    )
+
+
+ORACLES["doc_c4_filter"] = f"""
+    WITH {_CHUNK_LINES_SQL},
+    inj AS (SELECT doc_id, i,
+            (CASE WHEN (doc_id + i) % 3 <> 2 THEN b1 || '.' ELSE b1 END) AS line
+        FROM (SELECT doc_id, i,
+                (CASE WHEN (doc_id + i) % 7 = 0 THEN line || ' javascript'
+                      ELSE line END) AS b1 FROM ln)),
+    extra AS (SELECT doc_id, max(i) + 1 AS i,
+            (CASE WHEN doc_id % 31 = 0 THEN 'lorem ipsum dolor'
+                  ELSE 'function() {{' END) AS line
+        FROM inj WHERE doc_id % 31 = 0 OR (doc_id % 37 = 0 AND doc_id % 31 <> 0)
+        GROUP BY doc_id),
+    allln AS (SELECT * FROM inj UNION ALL SELECT * FROM extra),
+    full_txt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t
+                 FROM allln GROUP BY doc_id),
+    flags AS (SELECT doc_id, i, line,
+            (right(rtrim(line), 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+             AND NOT contains(lower(line), 'javascript')) AS ok
+        FROM allln),
+    keptl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt,
+                     count(*) AS n_kept
+              FROM flags WHERE ok GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n FROM allln GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(coalesce(k.txt, '')) AS clean_md5,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+           CAST((coalesce(k.n_kept, 0) >= 3
+                 AND NOT contains(lower(f.t), 'lorem ipsum')
+                 AND NOT contains(f.t, '{{')) AS BIGINT) AS kept
+    FROM tot t
+    JOIN full_txt f ON f.doc_id = t.doc_id
+    LEFT JOIN keptl k ON k.doc_id = t.doc_id
+"""
+
+QUERIES["doc_c4_filter"] = q_doc_c4_filter

@@ -456,3 +456,79 @@ def span_dedup(
             F.coalesce(F.size("cut"), F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the line-level pass of C4
+    (Raffel et al. 2020, "three-sentence span" variant simplified to the
+    line) and RefinedWeb/Gopher pipelines: a line whose trimmed length is
+    >= ``min_chars`` and that occurs at >= 2 (doc, position) places
+    corpus-wide keeps only its CANONICAL occurrence (minimum (doc, line
+    index)); every other occurrence is dropped and documents are
+    reassembled from the surviving lines in original order. Lines shorter
+    than ``min_chars`` (blank separators, "Home", nav stubs) are exempt —
+    deduping them would tear page structure, matching production practice.
+
+    Deterministic and exactly SQL-replicable (driver query
+    ``doc_line_dedup`` replays it verbatim in DuckDB). Returns
+    DF[id, text_dedup, n_lines, n_removed].
+
+    100-TB shape (same audited plan family as :func:`span_dedup`, one
+    granularity up): ONE corpus-scale shuffle keyed by the line string
+    (row_number per line group — group sizes are duplicate counts, never
+    hub-sized), a duplicate-scale per-doc cut-index set, and a map-side
+    array-filter rebuild. The line table is never anti-joined or
+    re-collected; docs that lose nothing join a cut set that only
+    duplicate-bearing docs populate. ``hash_lines=True`` is the petabyte
+    tier: the shuffle key becomes ``xxhash64(line)`` (8 bytes vs the full
+    line — same collision caveat as span_dedup's ``hash_spans``).
+
+    Reference N/A (the cuGraph fork has no text layer); technique per C4
+    appendix + Penedo et al. 2023 (RefinedWeb) §3.
+    """
+    from pyspark.sql import Window
+
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.col(text_col), sep).alias("lines"),
+    ).select("doc", "lines", F.size("lines").alias("n"))
+
+    occ = (
+        base.select("doc", F.posexplode("lines").alias("i", "line"))
+        .filter(F.length(F.trim("line")) >= min_chars)
+        .select("doc", (F.col("i") + 1).alias("i"), "line")
+    )
+    if hash_lines:
+        occ = occ.select("doc", "i", F.xxhash64("line").alias("line"))
+
+    rn = F.row_number().over(Window.partitionBy("line").orderBy("doc", "i"))
+    cut_doc = (
+        occ.select("doc", "i", rn.alias("rn"))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc")
+        .agg(F.collect_set("i").alias("cut"))
+    )
+
+    cut = F.coalesce(F.col("cut"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            "lines", lambda t, i: F.struct((i + 1).cast("int").alias("p"), t.alias("t"))
+        ),
+        lambda s: ~F.array_contains(cut, s.p),
+    )
+    return base.join(cut_doc, on="doc", how="left").select(
+        F.col("doc").alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s.t), sep).alias("text_dedup"),
+        F.col("n").alias("n_lines"),
+        F.coalesce(F.size("cut"), F.lit(0)).alias("n_removed"),
+    )

@@ -492,3 +492,69 @@ def dsir_gumbel_topk(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 5,
+    min_lines: int = 3,
+    terminal_punct: str = ".!?\"",
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """The C4 heuristic cleaning pass (Raffel et al. 2020, appendix):
+
+    line rules — a line survives iff it ends in a terminal punctuation
+    mark, contains >= ``min_words`` whitespace words, and contains no
+    ``line_blocklist`` phrase (case-insensitive);
+    page rules — a page is kept iff >= ``min_lines`` lines survive and the
+    ORIGINAL text contains no ``doc_blocklist`` phrase ("lorem ipsum",
+    code braces).
+
+    Returns DF[id, text_clean, n_kept, n_dropped, kept] with every input
+    doc present (kept=0 rows carry their cleaned text so downstream audit
+    queries can see what was dropped and why — production pipelines log
+    exactly this).
+
+    100-TB shape: a SINGLE map-only pass of built-in expressions — split,
+    one array filter with pure lambdas, re-join. Zero UDFs, zero shuffles,
+    zero driver state; whole-stage codegen end to end, trivially
+    embarrassingly parallel and filter-pushdown-transparent. Deterministic
+    and exactly SQL-replicable (driver query ``doc_c4_filter``).
+
+    Reference N/A (no text layer in the cuGraph fork); rules per the C4
+    paper's published list.
+    """
+    if min_words < 1:
+        raise ValueError("min_words must be >= 1")
+    if min_lines < 0:
+        raise ValueError("min_lines must be >= 0")
+    if not terminal_punct:
+        raise ValueError("terminal_punct must be non-empty")
+
+    def line_ok(line: Column) -> Column:
+        rt = F.rtrim(line)
+        punct = F.substring(rt, -1, 1).isin(*list(terminal_punct))
+        words = F.size(F.filter(F.split(line, " "), lambda w: w != "")) >= min_words
+        ok = punct & words
+        for phrase in line_blocklist:
+            ok = ok & ~F.contains(F.lower(line), F.lit(phrase.lower()))
+        return ok
+
+    doc_ok = F.lit(True)
+    for phrase in doc_blocklist:
+        doc_ok = doc_ok & ~F.contains(F.lower(F.col(text_col)), F.lit(phrase.lower()))
+
+    lines = F.split(F.col(text_col), sep)
+    kept_lines = F.filter(lines, line_ok)
+    n_kept = F.size(kept_lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept_lines, sep).alias("text_clean"),
+        n_kept.cast("long").alias("n_kept"),
+        (F.size(lines) - n_kept).cast("long").alias("n_dropped"),
+        ((n_kept >= min_lines) & doc_ok).cast("long").alias("kept"),
+    )
