@@ -190,6 +190,7 @@ from .text.pipeline import (
     stratified_sample,
     write_shards,
 )
+from .text.retrieval import bm25_topk, build_postings
 from .text.urls import canonicalize_url, url_dedup
 
 __all__ = [
@@ -329,6 +330,8 @@ __all__ = [
     "shard_plan",
     "write_shards",
     "canonicalize_url",
+    "bm25_topk",
+    "build_postings",
     "url_dedup",
     "sorensen",
     "sorensen_w",

@@ -3638,3 +3638,77 @@ ORACLES["doc_c4_filter"] = f"""
 """
 
 QUERIES["doc_c4_filter"] = q_doc_c4_filter
+
+
+# ---------------------------------------------------------------------------
+# BM25 sparse retrieval (text/retrieval.py) — inverted index + posting-list
+# join; exact-int mode makes every score step BIGINT (rational idf, DIV
+# saturation chain) so DuckDB replays the ranking bit-for-bit.
+# Queries are derived from the corpus itself: every doc_id % 50 == 0
+# contributes words 3..7 of its own text as a query. Reference N/A.
+# ---------------------------------------------------------------------------
+
+BM25_K = 5
+BM25_QMOD = 50
+BM25_K1M = 1200
+BM25_BM = 750
+IDF_SCALE_SQL = 1_000_000
+BM25_PREC_SQL = 1_000_000
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 top-k retrieval (Robertson-Zaragoza) in integer-exact mode:
+    rational idf + DIV saturation chain over an inverted index
+    (text/retrieval.py bm25_topk)."""
+    from .text.retrieval import bm25_topk
+
+    d = _documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    qs = d.filter(F.col("doc_id") % BM25_QMOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 3, 5)).alias("text"),
+    )
+    out = bm25_topk(d, qs, k=BM25_K, exact_int=True)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "rank",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+ORACLES["doc_bm25"] = f"""
+    WITH dw AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS w
+                             FROM documents),
+    dl AS MATERIALIZED (SELECT doc_id AS doc, len(w) AS dl FROM dw),
+    stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+    post AS MATERIALIZED (
+        SELECT doc_id AS doc, tok AS term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(w) AS tok FROM dw)
+        WHERE tok <> '' GROUP BY doc_id, tok),
+    dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    qt AS (SELECT DISTINCT doc_id AS qid, tok AS term FROM (
+            SELECT doc_id, unnest(w[3:7]) AS tok FROM dw
+            WHERE doc_id % {BM25_QMOD} = 0)
+        WHERE tok <> ''),
+    cand AS (SELECT q.qid, p.doc, p.tf, f.df, l.dl, s.n, s.tot
+             FROM qt q JOIN post p USING (term)
+             JOIN dft f USING (term) JOIN dl l ON l.doc = p.doc, stats s),
+    terms AS (SELECT qid, doc,
+            (CAST({IDF_SCALE_SQL} AS BIGINT) * (2*(n - df) + 1) // (2*df + 1)) *
+            ((tf * CAST({BM25_K1M + 1000} AS BIGINT) * 1000 * {BM25_PREC_SQL} * tot)
+             // (tf * CAST(1000000 AS BIGINT) * tot +
+                 {BM25_K1M} * (({1000 - BM25_BM}) * CAST(tot AS BIGINT)
+                               + {BM25_BM} * dl * n))) AS ts
+        FROM cand),
+    scored AS (SELECT qid, doc, CAST(sum(ts) AS BIGINT) AS score
+               FROM terms GROUP BY qid, doc),
+    ranked AS (SELECT qid, doc, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rank
+        FROM scored)
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+           CAST(doc AS BIGINT) AS doc_id, score
+    FROM ranked WHERE rank <= {BM25_K}
+"""
+
+QUERIES["doc_bm25"] = q_doc_bm25
