@@ -177,6 +177,7 @@ from .text.dedup import (
     simhash_signatures,
     span_dedup,
 )
+from .algorithms.mis import maximal_independent_set
 from .algorithms.triangles import clustering_coefficient, triangle_counts
 from .text.pipeline import (
     bloom_decontaminate,
@@ -318,6 +319,7 @@ __all__ = [
     "span_dedup",
     "line_dedup",
     "triangle_counts",
+    "maximal_independent_set",
     "clustering_coefficient",
     "pii_redact",
     "c4_line_filter",

@@ -3712,3 +3712,83 @@ ORACLES["doc_bm25"] = f"""
 """
 
 QUERIES["doc_bm25"] = q_doc_bm25
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (algorithms/mis.py) — Luby with deterministic LCG
+# priorities; the oracle unrolls the rounds verbatim (idempotent after
+# convergence is NOT true for Luby, so a guard row fires loudly if the
+# unroll count ever stops covering the driver graph: 2 rounds at sf0.001,
+# 3 at sf0.01, 6 unrolled). Reference N/A (no MIS in the 2021 fork).
+# ---------------------------------------------------------------------------
+
+MIS_ORACLE_ROUNDS = 6
+
+
+def q_mis(spark, sf_dir):
+    """Luby maximal independent set with deterministic LCG priorities on
+    the supply graph (algorithms/mis.py): one E-scale min-key partial agg
+    + active-set semi/anti joins per round, one scalar action per round."""
+    from .algorithms.mis import maximal_independent_set
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return maximal_independent_set(g).select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("in_mis").cast("int").alias("in_mis"),
+    )
+
+
+def _mis_oracle() -> str:
+    key_v = "((1103515245 * {c} + 12345) % 2147483648) * 4294967296 + {c}"
+    parts = [
+        f"WITH raw AS ({SUPPLY_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw))",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM raw))) AS v)",
+        "a0 AS (SELECT v FROM univ)",
+        "e0 AS (SELECT src, dst FROM sym)",
+    ]
+    for t in range(1, MIS_ORACLE_ROUNDS + 1):
+        ks = key_v.format(c="src")
+        ka = key_v.format(c="a.v")
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT dst AS v, min({ks}) AS mk "
+            f"FROM e{t-1} GROUP BY dst)"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT a.v FROM a{t-1} a "
+            f"LEFT JOIN m{t} m ON a.v = m.v "
+            f"WHERE m.mk IS NULL OR {ka} < m.mk)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT v FROM w{t} UNION "
+            f"SELECT e.dst AS v FROM e{t-1} e JOIN w{t} w ON e.src = w.v)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT a.v FROM a{t-1} a "
+            f"LEFT JOIN r{t} r ON a.v = r.v WHERE r.v IS NULL)"
+        )
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t-1} e "
+            f"JOIN a{t} x ON e.src = x.v JOIN a{t} y ON e.dst = y.v)"
+        )
+    wins = " UNION ".join(f"SELECT v FROM w{t}" for t in range(1, MIS_ORACLE_ROUNDS + 1))
+    parts.append(f"mis AS ({wins})")
+    parts.append(
+        f"guard AS (SELECT CAST(-1 AS BIGINT) AS vertex, CAST(-9 AS INT) AS in_mis "
+        f"FROM a{MIS_ORACLE_ROUNDS} LIMIT 1)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT CAST(u.v AS BIGINT) AS vertex,
+           CAST(CASE WHEN m.v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_mis
+    FROM univ u LEFT JOIN mis m ON u.v = m.v
+    UNION ALL SELECT vertex, in_mis FROM guard
+    """
+    )
+
+
+QUERIES["mis"] = q_mis
+ORACLES["mis"] = _mis_oracle()
