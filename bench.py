@@ -99,9 +99,10 @@ def main() -> None:
             ).count(),
         )
         # r3 added doc_gopher/host_pagerank/doc_span_dedup/ppr; r4 adds
-        # harmonic (HyperBall distance centrality) and doc_dsir (data
-        # selection) — round-over-round comparisons stay like-for-like on
-        # the shared prefix, new queries are reported per-query.
+        # harmonic (HyperBall), doc_dsir (data selection), doc_line_dedup
+        # (C4 line pass), doc_bm25 (sparse retrieval), mis (Luby) — the
+        # round-over-round comparison stays like-for-like on the shared
+        # prefix, new queries are reported per-query.
         for name in (
             "doc_shingle_dups",
             "emb_topk",
@@ -112,6 +113,9 @@ def main() -> None:
             "ppr",
             "harmonic",
             "doc_dsir",
+            "doc_line_dedup",
+            "doc_bm25",
+            "mis",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
         return timings, ts
