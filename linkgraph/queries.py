@@ -3792,3 +3792,79 @@ def _mis_oracle() -> str:
 
 QUERIES["mis"] = q_mis
 ORACLES["mis"] = _mis_oracle()
+
+
+# ---------------------------------------------------------------------------
+# whole-graph summary measures (reciprocity / assortativity / degree hist)
+# ---------------------------------------------------------------------------
+
+def q_graph_stats(spark, sf_dir):
+    """Reciprocity of the directed supply graph + degree assortativity of
+    its symmetrized form (algorithms/graph_measures.py): one pair-keyed
+    map-side-combined agg, two co-partitioned degree joins, six BIGINT
+    sufficient statistics — the scaled ratios are derived from identical
+    integers in both engines."""
+    from .algorithms.graph_measures import degree_assortativity, reciprocity
+
+    gd = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    gu = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    rec = reciprocity(gd)
+    asr = degree_assortativity(gu).select(
+        F.col("m").alias("m_sym"), "sx", "sxx", "sxy", "assortativity_e6"
+    )
+    return rec.crossJoin(asr)
+
+
+ORACLES["graph_stats"] = f"""
+    WITH raw AS ({SUPPLY_EDGES_SQL}),
+    pairs AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+                     max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+                     max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS rev
+              FROM raw GROUP BY lo, hi),
+    rec AS (SELECT CAST(sum(fwd + rev) AS BIGINT) AS m,
+                   CAST(2 * sum(fwd * rev) AS BIGINT) AS recip FROM pairs),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    pr AS (SELECT a.d AS x, b.d AS y FROM sym e
+           JOIN deg a ON e.src = a.v JOIN deg b ON e.dst = b.v),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS m_sym,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(y * y) AS BIGINT) AS syy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy FROM pr)
+    SELECT rec.m, rec.recip,
+           CAST(round(CAST(1000000 AS DOUBLE) * rec.recip / rec.m) AS BIGINT)
+             AS reciprocity_e6,
+           st.m_sym, st.sx, st.sxx, st.sxy,
+           CASE WHEN (st.m_sym * st.sxx - st.sx * st.sx) = 0 THEN NULL
+                ELSE CAST(round(CAST(1000000 AS DOUBLE) *
+                     CAST(st.m_sym * st.sxy - st.sx * st.sx AS DOUBLE) /
+                     (sqrt(CAST(st.m_sym * st.sxx - st.sx * st.sx AS DOUBLE)) *
+                      sqrt(CAST(st.m_sym * st.syy - st.sx * st.sx AS DOUBLE))))
+                     AS BIGINT) END AS assortativity_e6
+    FROM rec, st
+"""
+QUERIES["graph_stats"] = q_graph_stats
+
+
+def q_degree_hist(spark, sf_dir):
+    """Exact total-degree distribution of the link graph including
+    isolated vertices (max+1 universe rule): two map-side-combined
+    V-scale aggregations, no join wider than V."""
+    from .algorithms.graph_measures import degree_histogram
+
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    return degree_histogram(g, direction="total")
+
+
+ORACLES["degree_hist"] = f"""
+    WITH e AS ({LINK_EDGES_SQL}),
+    univ AS (SELECT unnest(generate_series(0, (SELECT max(greatest(src, dst)) FROM e))) AS vertex),
+    t AS (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e),
+    d AS (SELECT vertex, count(*) AS c FROM t GROUP BY vertex),
+    deg AS (SELECT u.vertex, CAST(coalesce(d.c, 0) AS BIGINT) AS degree
+            FROM univ u LEFT JOIN d ON u.vertex = d.vertex)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY degree
+"""
+QUERIES["degree_hist"] = q_degree_hist
