@@ -3868,3 +3868,84 @@ ORACLES["degree_hist"] = f"""
     SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY degree
 """
 QUERIES["degree_hist"] = q_degree_hist
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup detection (LCG dialect -> exact cross-engine replay)
+# ---------------------------------------------------------------------------
+
+def q_doc_simhash_dups(spark, sf_dir):
+    """SimHash signatures (text/dedup.py simhash_lcg_signatures) + 16-bit
+    band LSH + exact Hamming verify: per doc the 62-bit signature and the
+    count of near neighbors (hamming <= 3). Signature = two map-side
+    combined aggs; candidate stage is the banded bucket join, never
+    all-pairs."""
+    from .text.dedup import simhash_lcg_signatures, simhash_near_pairs
+
+    docs = _documents(spark, sf_dir)
+    sigs = simhash_lcg_signatures(docs)
+    pairs = simhash_near_pairs(sigs)
+    both = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    n = both.groupBy("doc_id").agg(F.count("*").alias("n_near"))
+    return (
+        sigs.join(n, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("simhash").cast("long").alias("simhash"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+    )
+
+
+ORACLES["doc_simhash_dups"] = """
+    WITH toks AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents)
+        WHERE length(tok) >= 1
+        GROUP BY doc_id, tok),
+    chpos AS (
+        SELECT doc_id, tok, tf,
+               unnest(generate_series(1, length(tok))) AS i
+        FROM toks),
+    codes AS (
+        SELECT doc_id, tok, any_value(tf) AS tf,
+               sum(ascii(substring(tok, i, 1)) *
+                   ((1103515245::BIGINT * i + 12345) % 2147483647))
+                 % 2147483647 AS code
+        FROM chpos GROUP BY doc_id, tok),
+    hs AS (
+        SELECT doc_id, tf,
+               ((1103515245::BIGINT * code + 12345) % 2147483647)
+               + (((506952114::BIGINT * code + 54321) % 2147483647)
+                  * 2147483648::BIGINT) AS h
+        FROM codes),
+    bitsum AS (
+        SELECT doc_id, b.b,
+               sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN tf ELSE -tf END) AS s
+        FROM hs, generate_series(0, 61) b(b)
+        GROUP BY doc_id, b.b),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM bitsum GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, simhash, b.b AS band, (simhash >> (16 * b.b)) & 65535 AS bucket
+        FROM sig, generate_series(0, 3) b(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+    sides AS (SELECT id_a AS doc_id FROM pairs
+              UNION ALL SELECT id_b AS doc_id FROM pairs),
+    n AS (SELECT doc_id, count(*) AS n_near FROM sides GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.simhash AS BIGINT) AS simhash,
+           CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+    FROM sig s LEFT JOIN n ON s.doc_id = n.doc_id
+"""
+QUERIES["doc_simhash_dups"] = q_doc_simhash_dups

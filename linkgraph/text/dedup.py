@@ -360,6 +360,57 @@ def simhash_near_pairs(
     )
 
 
+SIMHASH_BITS = 62  # two 31-bit LCG halves -> non-negative BIGINT signatures
+
+
+def simhash_lcg_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DF[id, simhash:long] — Charikar simhash in the repo's exact-integer
+    LCG dialect (hash_mode="lcg" twin of `simhash_signatures`, whose
+    xxhash64 bits have no SQL replica): token hash = two 31-bit
+    (a·code + b) mod P halves over the shared char-LCG fold, packed into a
+    62-bit non-negative BIGINT, then tf-weighted signed bit sums.
+
+    100-TB shape: one token-tf map-side-combined agg + ONE 62-column
+    groupBy(doc) agg (bit sums never explode the token table 62x); the
+    signature table is doc-scale.
+    """
+    toks = (
+        df.select(id_col, F.explode(F.split(F.trim(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    code = F.expr(
+        f"aggregate(sequence(1, length(tok)), cast(0 as bigint), (acc, i) -> "
+        f"(acc + ascii(substring(tok, i, 1)) * "
+        f"((cast({MH_LCG_A} as bigint) * i + {MH_LCG_B}) % {MH_LCG_P})) % {MH_LCG_P})"
+    )
+    h1 = (F.lit(MH_LCG_A).cast("long") * F.col("code") + F.lit(MH_LCG_B)) % F.lit(
+        MH_LCG_P
+    )
+    h2 = (
+        F.lit(MH_LCG_C % MH_LCG_P).cast("long") * F.col("code") + F.lit(54321)
+    ) % F.lit(MH_LCG_P)
+    toks = toks.withColumn("code", code).withColumn(
+        "h", h1 + h2 * F.lit(1 << 31).cast("long")
+    )
+    bit_cols = []
+    for i in range(SIMHASH_BITS):
+        bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+        bit_cols.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+        )
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return agg.select(id_col, sim.alias("simhash"))
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -340,3 +340,34 @@ def test_tfidf_top_terms(spark):
         r for r in tfidf_top_terms(docs, k=5).collect() if r.term == "common"
     ]
     assert zero and all(r.score_e6 == 0 for r in zero)
+
+
+def test_simhash_lcg_signatures_properties(spark):
+    from linkgraph.text.dedup import (
+        SIMHASH_BITS,
+        simhash_lcg_signatures,
+        simhash_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact duplicate -> identical signature
+            (2, base.replace("lazy", "sleepy")),  # near duplicate
+            (3, "completely different content about spark shuffles and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_lcg_signatures(docs).collect()}
+    assert len(sigs) == 4
+    assert all(0 <= s < (1 << SIMHASH_BITS) for s in sigs.values())
+    assert sigs[0] == sigs[1]
+    ham01 = bin(sigs[0] ^ sigs[2]).count("1")
+    ham03 = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham01 < ham03
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(simhash_lcg_signatures(docs)).collect()
+    }
+    assert pairs[(0, 1)] == 0
