@@ -3949,3 +3949,105 @@ ORACLES["doc_simhash_dups"] = """
     FROM sig s LEFT JOIN n ON s.doc_id = n.doc_id
 """
 QUERIES["doc_simhash_dups"] = q_doc_simhash_dups
+
+
+# ---------------------------------------------------------------------------
+# densest subgraph (Bahmani et al. peeling, eps = 1/2)
+# ---------------------------------------------------------------------------
+
+DENSEST_ORACLE_ROUNDS = 18  # > log_1.5(400) + margin; guard row if short
+
+
+def q_densest(spark, sf_dir):
+    """Greedy-peeling densest subgraph (algorithms/densest.py, eps=0.2)
+    on the supply graph UNION a planted K20 on the disjoint id range
+    10000..10019 (derived arithmetically in both engines) — at sf0.001
+    the peel provably recovers the planted clique in round 3, so the
+    driver row checks a genuinely multi-round argmax. Per round: one
+    E-scale degree agg + one 2-scalar action; peel threshold and argmax
+    are exact cross-multiplied BIGINTs."""
+    from .algorithms.densest import densest_subgraph
+
+    ids = spark.range(20).select(F.col("id").cast("long").alias("i"))
+    clique = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            (F.lit(10000) + F.col("a.i")).alias("src"),
+            (F.lit(10000) + F.col("b.i")).alias("dst"),
+        )
+    )
+    raw = supply_edges(spark, sf_dir).unionByName(clique)
+    g = Graph.from_edgelist(raw, directed=False, renumber=False)
+    return densest_subgraph(g, epsilon=0.2).select(
+        F.col("vertex").cast("long").alias("vertex"),
+        "density_num", "density_den", "density_e9",
+    )
+
+
+def _densest_oracle() -> str:
+    # eps = 1/5 -> peel keeps d * V * 5 > S * 6
+    parts = [
+        f"WITH sup AS ({SUPPLY_EDGES_SQL})",
+        "clq AS (SELECT 10000 + a.a AS src, 10000 + b.b AS dst "
+        "FROM generate_series(0, 19) a(a), generate_series(0, 19) b(b) "
+        "WHERE a.a < b.b)",
+        "raw AS (SELECT src, dst FROM sup UNION ALL SELECT src, dst FROM clq)",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw))",
+        "e0 AS (SELECT src, dst FROM sym)",
+    ]
+    n = DENSEST_ORACLE_ROUNDS
+    for t in range(1, n + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT src AS v, count(*) AS d "
+            f"FROM e{t-1} GROUP BY src)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT count(*) AS vv, "
+            f"coalesce(sum(d), 0) AS ss FROM d{t})"
+        )
+        parts.append(
+            f"k{t} AS MATERIALIZED (SELECT v FROM d{t}, s{t} "
+            f"WHERE d * vv * 5 > ss * 6)"
+        )
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t-1} e "
+            f"JOIN k{t} a ON e.src = a.v JOIN k{t} b ON e.dst = b.v)"
+        )
+    rounds = " UNION ALL ".join(
+        f"SELECT {t} AS t, vv, ss FROM s{t}" for t in range(1, n + 1)
+    )
+    parts.append(f"rounds AS MATERIALIZED (SELECT * FROM ({rounds}) WHERE ss > 0)")
+    # exact integer argmax, earliest round on ties
+    parts.append(
+        "best AS (SELECT t, vv, ss FROM rounds r WHERE NOT EXISTS ("
+        "SELECT 1 FROM rounds u WHERE u.ss * r.vv > r.ss * u.vv) "
+        "ORDER BY t LIMIT 1)"
+    )
+    acts = " UNION ALL ".join(
+        f"SELECT {t} AS t, v FROM d{t}" for t in range(1, n + 1)
+    )
+    parts.append(f"acts AS ({acts})")
+    parts.append(
+        f"guard AS (SELECT CAST(-1 AS BIGINT) AS vertex, "
+        f"CAST(-9 AS BIGINT) AS density_num, CAST(-9 AS BIGINT) AS density_den, "
+        f"CAST(-9 AS BIGINT) AS density_e9 FROM e{n} LIMIT 1)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT CAST(a.v AS BIGINT) AS vertex,
+           CAST(b.ss AS BIGINT) AS density_num,
+           CAST(2 * b.vv AS BIGINT) AS density_den,
+           CAST((1000000000::BIGINT * b.ss + b.vv) // (2 * b.vv) AS BIGINT)
+             AS density_e9
+    FROM acts a JOIN best b ON a.t = b.t
+    UNION ALL SELECT * FROM guard
+    """
+    )
+
+
+QUERIES["densest"] = q_densest
+ORACLES["densest"] = _densest_oracle()
