@@ -114,10 +114,27 @@ def main() -> None:
             "harmonic",
             "doc_dsir",
             "doc_line_dedup",
-            "doc_bm25",
             "mis",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
+
+        def bm25_production():
+            # the float ln-idf production tier — the exact-int tier the
+            # driver oracle checks is a small-corpus dialect and refuses
+            # (by design) corpora big enough to overflow its BIGINT
+            # saturation chain, which sf0.1 is
+            from linkgraph.queries import BM25_K, BM25_QMOD, _documents
+            from linkgraph.text.retrieval import bm25_topk
+
+            d = _documents(spark, SF_DIR)
+            toks = F.split(F.trim(F.col("text")), " ")
+            qs = d.filter(F.col("doc_id") % BM25_QMOD == 0).select(
+                F.col("doc_id").alias("query_id"),
+                F.concat_ws(" ", F.slice(toks, 3, 5)).alias("text"),
+            )
+            return bm25_topk(d, qs, k=BM25_K, exact_int=False).count()
+
+        timed("doc_bm25", bm25_production)
         return timings, ts
 
     # --- cold pass: fresh JVM, first-run codegen, first parquet touch ---

@@ -173,9 +173,17 @@ from .text.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_lcg_signatures,
     simhash_near_pairs,
     simhash_signatures,
     span_dedup,
+)
+from .algorithms.densest import densest_subgraph
+from .algorithms.local_cluster import local_cluster
+from .algorithms.graph_measures import (
+    degree_assortativity,
+    degree_histogram,
+    reciprocity,
 )
 from .algorithms.mis import maximal_independent_set
 from .algorithms.triangles import clustering_coefficient, triangle_counts
@@ -319,7 +327,13 @@ __all__ = [
     "span_dedup",
     "line_dedup",
     "triangle_counts",
+    "degree_assortativity",
+    "degree_histogram",
+    "densest_subgraph",
+    "local_cluster",
     "maximal_independent_set",
+    "reciprocity",
+    "simhash_lcg_signatures",
     "clustering_coefficient",
     "pii_redact",
     "c4_line_filter",

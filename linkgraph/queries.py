@@ -4051,3 +4051,92 @@ def _densest_oracle() -> str:
 
 QUERIES["densest"] = q_densest
 ORACLES["densest"] = _densest_oracle()
+
+
+# ---------------------------------------------------------------------------
+# local clustering: PPR sweep cut (Andersen-Chung-Lang)
+# ---------------------------------------------------------------------------
+
+LC_SEED = 0
+LC_ITERS = 10
+
+
+def q_local_cluster(spark, sf_dir):
+    """ACL local clustering around seed 0 on the undirected supply graph
+    (algorithms/local_cluster.py): the audited zero-action PPR loop, then
+    a SUPPORT-scale sweep — degree-normalized ordering, exact BIGINT
+    cut/volume prefix sums, conductance argmin. phi_e9 uses integer
+    half-up rounding; the sweep order and argmin ratios are doubles
+    derived from identical integers in both engines."""
+    from .algorithms.local_cluster import local_cluster
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=False, renumber=False)
+    return local_cluster(g, LC_SEED, alpha=ALPHA, iterations=LC_ITERS).select(
+        F.col("vertex").cast("long").alias("vertex"),
+        "rank", "cut", "den", "phi_e9",
+    )
+
+
+def _local_cluster_oracle() -> str:
+    a = ALPHA
+    s = LC_SEED
+    parts = [
+        f"WITH raw AS ({SUPPLY_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw))",
+        "od AS MATERIALIZED (SELECT src AS v, count(*) AS od FROM sym GROUP BY src)",
+        f"r0 AS (SELECT CAST({s} AS BIGINT) AS v, 1.0::DOUBLE AS r)",
+    ]
+    for k in range(1, LC_ITERS + 1):
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum({a} * p.r / od.od) AS r "
+            f"FROM sym e JOIN r{k-1} p ON e.src = p.v JOIN od ON od.v = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v, sum(r) AS r FROM ("
+            f"SELECT v, r FROM m{k} UNION ALL "
+            f"SELECT CAST({s} AS BIGINT) AS v, "
+            f"1.0 - coalesce((SELECT sum(r) FROM m{k}), 0.0) AS r) GROUP BY v)"
+        )
+    parts += [
+        f"p AS MATERIALIZED (SELECT v, CAST(round(r * 1e7) AS BIGINT) AS p7 "
+        f"FROM r{LC_ITERS} WHERE CAST(round(r * 1e7) AS BIGINT) > 0)",
+        "sweep AS MATERIALIZED (SELECT p.v, p.p7, od.od AS d, "
+        "row_number() OVER (ORDER BY CAST(p.p7 AS DOUBLE) / od.od DESC, p.v ASC) "
+        "AS rk FROM p JOIN od ON od.v = p.v)",
+        "er AS MATERIALIZED (SELECT a.rk AS ra, b.rk AS rb FROM sym e "
+        "LEFT JOIN sweep a ON e.src = a.v LEFT JOIN sweep b ON e.dst = b.v "
+        "WHERE a.rk IS NOT NULL OR b.rk IS NOT NULL)",
+        "dplus AS (SELECT least(coalesce(ra, 1099511627776), "
+        "coalesce(rb, 1099511627776)) AS rk, count(*) AS c FROM er GROUP BY 1)",
+        "dminus AS (SELECT greatest(ra, rb) AS rk, count(*) AS c FROM er "
+        "WHERE ra IS NOT NULL AND rb IS NOT NULL GROUP BY 1)",
+        "tot AS (SELECT count(*) AS tv FROM sym)",
+        "cum AS MATERIALIZED (SELECT s.v, s.rk, "
+        "sum(s.d) OVER (ORDER BY s.rk) AS vol, "
+        "sum(coalesce(dp.c, 0) - coalesce(dm.c, 0)) OVER (ORDER BY s.rk) AS cut "
+        "FROM sweep s LEFT JOIN dplus dp ON s.rk = dp.rk "
+        "LEFT JOIN dminus dm ON s.rk = dm.rk)",
+        "cand AS (SELECT rk, cut, least(vol, tv - vol) AS den FROM cum, tot "
+        "WHERE least(vol, tv - vol) > 0)",
+        "best AS (SELECT rk, cut, den FROM cand "
+        "ORDER BY CAST(cut AS DOUBLE) / den ASC, rk ASC LIMIT 1)",
+    ]
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT CAST(c.v AS BIGINT) AS vertex,
+           CAST(c.rk AS BIGINT) AS "rank",
+           CAST(b.cut AS BIGINT) AS cut,
+           CAST(b.den AS BIGINT) AS den,
+           CAST((2000000000::BIGINT * b.cut + b.den) // (2 * b.den) AS BIGINT)
+             AS phi_e9
+    FROM cum c, best b WHERE c.rk <= b.rk
+    """
+    )
+
+
+QUERIES["local_cluster"] = q_local_cluster
+ORACLES["local_cluster"] = _local_cluster_oracle()
