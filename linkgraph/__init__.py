@@ -190,6 +190,7 @@ from .algorithms.triangles import clustering_coefficient, triangle_counts
 from .text.pipeline import (
     bloom_decontaminate,
     c4_line_filter,
+    ccnet_perplexity,
     decontaminate,
     dsir_gumbel_topk,
     dsir_weights,
@@ -337,6 +338,7 @@ __all__ = [
     "clustering_coefficient",
     "pii_redact",
     "c4_line_filter",
+    "ccnet_perplexity",
     "decontaminate",
     "bloom_decontaminate",
     "dsir_gumbel_topk",

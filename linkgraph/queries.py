@@ -4140,3 +4140,112 @@ def _local_cluster_oracle() -> str:
 
 QUERIES["local_cluster"] = q_local_cluster
 ORACLES["local_cluster"] = _local_cluster_oracle()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity scoring (hashed-bucket bigram LM)
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS = 128
+CCNET_REF_MOD = 10
+
+
+def q_doc_ccnet(spark, sf_dir):
+    """CCNet perplexity filter (text/pipeline.py ccnet_perplexity): train
+    the hashed-bucket bigram LM on the doc_id%10==0 reference slice, score
+    every document by exact scaled-int log-prob sums. The model's ln()
+    evaluations happen once on the driver and ship to BOTH engines via the
+    sidecar, so the oracle re-derives every count (loud guards) and replays
+    every score bit-for-bit."""
+    import os
+
+    import pandas as pd
+
+    from .text.pipeline import ccnet_perplexity
+
+    d = _documents(spark, sf_dir)
+    ref = d.filter(F.col("doc_id") % CCNET_REF_MOD == 0)
+    scores, trans_model, ctx_model = ccnet_perplexity(
+        d, ref, num_buckets=CCNET_BUCKETS, alpha=1.0
+    )
+    os.makedirs(SIDECAR_DIR, exist_ok=True)
+    pd.DataFrame(trans_model, columns=["bp", "bc", "c2", "s_e"]).to_parquet(
+        f"{SIDECAR_DIR}/ccnet_trans.parquet", index=False
+    )
+    pd.DataFrame(ctx_model, columns=["bp", "c1", "s_unseen_e"]).to_parquet(
+        f"{SIDECAR_DIR}/ccnet_ctx.parquet", index=False
+    )
+    return scores.select("doc_id", "sum_e", "n_terms", "avg_nlogp_e6")
+
+
+def _ccnet_oracle() -> str:
+    import math
+
+    from .text.dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    s0 = int(round(1_000_000 * math.log(1.0 / CCNET_BUCKETS)))
+    return f"""
+    WITH words AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    tokpos AS MATERIALIZED (
+        SELECT doc_id, i, w[i] AS tok FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM words)),
+    tokchars AS (
+        SELECT doc_id, i, tok, unnest(generate_series(1, length(tok))) AS j
+        FROM tokpos),
+    csum AS (
+        SELECT doc_id, i,
+               sum(ascii(substring(tok, j, 1)) *
+                   (({MH_LCG_A}::BIGINT * j + {MH_LCG_B}) % {MH_LCG_P}))
+                 % {MH_LCG_P} AS code
+        FROM tokchars GROUP BY doc_id, i),
+    codes AS MATERIALIZED (
+        SELECT t.doc_id, t.i, coalesce(c.code, 0) % {CCNET_BUCKETS} AS b
+        FROM tokpos t LEFT JOIN csum c ON t.doc_id = c.doc_id AND t.i = c.i),
+    pairs AS (
+        SELECT a.doc_id, a.b AS bp, b.b AS bc
+        FROM codes a JOIN codes b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    dt AS MATERIALIZED (
+        SELECT doc_id, bp, bc, count(*) AS cnt FROM pairs GROUP BY doc_id, bp, bc),
+    c2_chk AS (SELECT bp, bc, sum(cnt) AS c2 FROM dt
+               WHERE doc_id % {CCNET_REF_MOD} = 0 GROUP BY bp, bc),
+    c1_chk AS (SELECT bp, sum(cnt) AS c1 FROM dt
+               WHERE doc_id % {CCNET_REF_MOD} = 0 GROUP BY bp),
+    strans AS (SELECT bp, bc, c2, s_e
+               FROM read_parquet('{SIDECAR_DIR}/ccnet_trans.parquet')),
+    sctx AS (SELECT bp, c1, s_unseen_e
+             FROM read_parquet('{SIDECAR_DIR}/ccnet_ctx.parquet')),
+    guard_t AS (
+        SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-999999999 AS BIGINT) AS sum_e,
+               CAST(-9 AS BIGINT) AS n_terms, CAST(-9 AS BIGINT) AS avg_nlogp_e6
+        FROM c2_chk k FULL OUTER JOIN strans s
+          ON k.bp = s.bp AND k.bc = s.bc
+        WHERE k.c2 IS DISTINCT FROM s.c2),
+    guard_c AS (
+        SELECT CAST(-2 AS BIGINT) AS doc_id, CAST(-999999999 AS BIGINT) AS sum_e,
+               CAST(-9 AS BIGINT) AS n_terms, CAST(-9 AS BIGINT) AS avg_nlogp_e6
+        FROM c1_chk k FULL OUTER JOIN sctx s ON k.bp = s.bp
+        WHERE k.c1 IS DISTINCT FROM s.c1),
+    scored AS (
+        SELECT d.doc_id,
+               sum(d.cnt * coalesce(t.s_e, c.s_unseen_e, {s0})) AS sum_e,
+               sum(d.cnt) AS n_terms
+        FROM dt d
+        LEFT JOIN strans t ON d.bp = t.bp AND d.bc = t.bc
+        LEFT JOIN sctx c ON d.bp = c.bp
+        GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           CAST(coalesce(s.sum_e, 0) AS BIGINT) AS sum_e,
+           CAST(coalesce(s.n_terms, 0) AS BIGINT) AS n_terms,
+           CASE WHEN coalesce(s.n_terms, 0) > 0
+                THEN CAST(round(CAST(-s.sum_e AS DOUBLE) / s.n_terms) AS BIGINT)
+           END AS avg_nlogp_e6
+    FROM (SELECT DISTINCT doc_id FROM documents) doc
+    LEFT JOIN scored s ON doc.doc_id = s.doc_id
+    UNION ALL SELECT * FROM guard_t
+    UNION ALL SELECT * FROM guard_c
+    """
+
+
+QUERIES["doc_ccnet"] = q_doc_ccnet
+ORACLES["doc_ccnet"] = _ccnet_oracle()

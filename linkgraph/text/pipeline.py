@@ -558,3 +558,161 @@ def c4_line_filter(
         (F.size(lines) - n_kept).cast("long").alias("n_dropped"),
         ((n_kept >= min_lines) & doc_ok).cast("long").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filtering (Wenzek et al. 2020, arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+
+CCNET_SCALE = 1_000_000
+_CCNET_MAX_BUCKETS = 1024  # observed-transition table <= B^2 rows on driver
+
+
+def _bucket_codes(text_col: str, num_buckets: int):
+    """array<bigint> — the POSITIONAL token->bucket sequence (order
+    preserved; every whitespace-split position is a token, the shared
+    char-LCG fold maps it to a bucket)."""
+    from .dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    return F.expr(
+        f"transform(split(trim({text_col}), ' '), tok -> "
+        f"aggregate(sequence(1, length(tok)), cast(0 as bigint), (acc, i) -> "
+        f"(acc + ascii(substring(tok, i, 1)) * "
+        f"((cast({MH_LCG_A} as bigint) * i + {MH_LCG_B}) % {MH_LCG_P})) % {MH_LCG_P})"
+        f" % {num_buckets})"
+    )
+
+
+def _transition_counts(df: DataFrame, text_col: str, id_col: str, num_buckets: int):
+    """DF[id, bp, bc, cnt] — positional bigram bucket transitions.
+    Zero-shuffle until the final (id, bp, bc) map-side-combined agg; the
+    pair construction is an array transform, never a self-join or window."""
+    cs = _bucket_codes(text_col, num_buckets)
+    pairs = (
+        df.select(F.col(id_col).alias("id"), cs.alias("cs"))
+        .select(
+            "id",
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark, so the pair list is
+                # built with length-clamped slices (empty for 1-token docs)
+                F.arrays_zip(
+                    F.expr("slice(cs, 1, size(cs) - 1)"),
+                    F.expr("slice(cs, 2, size(cs) - 1)"),
+                )
+            ).alias("t"),
+        )
+        .select("id", F.col("t.`0`").alias("bp"), F.col("t.`1`").alias("bc"))
+    )
+    return pairs.groupBy("id", "bp", "bc").agg(F.count("*").alias("cnt"))
+
+
+def ccnet_perplexity(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 128,
+    alpha: float = 1.0,
+):
+    """CCNet's quality signal re-expressed Spark-first: score every corpus
+    document by its average negative log-probability under a hashed-bucket
+    BIGRAM language model trained on ``reference`` (CCNet trains a KenLM
+    5-gram on Wikipedia; the hashed-bucket bigram is this engine's
+    bounded-driver-state, SQL-replayable counterpart — same filtering
+    semantics: low avg_nlogp = reference-like "head", high = "tail").
+
+    Returns ``(scores, trans_model, ctx_model)``:
+
+    - scores: DF[id_col, sum_e, n_terms, avg_nlogp_e6] where
+      ``sum_e = Σ cnt · s_e`` is the EXACT scaled-integer log-prob sum,
+      ``n_terms`` the bigram count, and ``avg_nlogp_e6 =
+      round(-sum_e / n_terms)`` (null for docs under two tokens);
+    - trans_model: [(bp, bc, c2, s_e)] observed reference transitions with
+      ``s_e = round(1e6·ln((c2+α)/(c1+αB)))``;
+    - ctx_model: [(bp, c1, s_unseen_e)] per observed context with the
+      unseen-transition fallback ``round(1e6·ln(α/(c1+αB)))``; contexts
+      never seen in the reference fall back to ``round(1e6·ln(1/B))``
+      (the α-free uniform bigram).
+
+    Physical plan: one reference transition pass + one corpus transition
+    pass (each: array-transform pair construction — NO self-join, NO
+    window — then a map-side-combined (doc, bp, bc) agg), the reference
+    model collected to the driver (≤ B² + B rows, the bounded-driver-state
+    pattern shared with DSIR/IVF), and ONE broadcast join + hash agg over
+    corpus transition counts. The corpus is never shuffled on anything
+    wider than (doc, bp, bc). Log evaluation happens ONCE on the driver
+    over exact integers and ships as scaled-int literals, so both engines
+    sum identical BIGINTs — the oracle replays every score bit-for-bit
+    (ln itself is never evaluated inside either engine's expressions,
+    avoiding cross-engine libm divergence).
+    """
+    import math
+
+    if not 2 <= num_buckets <= _CCNET_MAX_BUCKETS:
+        raise ValueError(f"num_buckets must be in [2, {_CCNET_MAX_BUCKETS}]")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing)")
+    spark = corpus.sparkSession
+    B = num_buckets
+
+    ref = _transition_counts(reference, text_col, id_col, B)
+    c2_rows = ref.groupBy("bp", "bc").agg(F.sum("cnt").alias("c2")).collect()
+    c1 = {}
+    for r in c2_rows:
+        c1[r.bp] = c1.get(r.bp, 0) + r.c2
+    trans_model = [
+        (
+            int(r.bp),
+            int(r.bc),
+            int(r.c2),
+            int(round(CCNET_SCALE * math.log((r.c2 + alpha) / (c1[r.bp] + alpha * B)))),
+        )
+        for r in c2_rows
+    ]
+    ctx_model = [
+        (
+            int(bp),
+            int(tot),
+            int(round(CCNET_SCALE * math.log(alpha / (tot + alpha * B)))),
+        )
+        for bp, tot in sorted(c1.items())
+    ]
+    s0 = int(round(CCNET_SCALE * math.log(1.0 / B)))
+
+    tdf = spark.createDataFrame(
+        trans_model or [(-1, -1, 0, 0)], "bp long, bc long, c2 long, s_e long"
+    )
+    cdf = spark.createDataFrame(
+        ctx_model or [(-1, 0, 0)], "bp long, c1 long, s_unseen_e long"
+    )
+
+    doc_t = _transition_counts(corpus, text_col, id_col, B)
+    scored = (
+        doc_t.join(F.broadcast(tdf.select("bp", "bc", "s_e")), on=["bp", "bc"], how="left")
+        .join(F.broadcast(cdf.select("bp", "s_unseen_e")), on="bp", how="left")
+        .withColumn(
+            "s", F.coalesce("s_e", "s_unseen_e", F.lit(s0).cast("long"))
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("s")).alias("sum_e"),
+            F.sum("cnt").alias("n_terms"),
+        )
+    )
+    scores = (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(scored, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("sum_e", F.lit(0)).cast("long").alias("sum_e"),
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.when(
+                F.coalesce("n_terms", F.lit(0)) > 0,
+                F.round(
+                    -F.col("sum_e").cast("double") / F.col("n_terms")
+                ).cast("long"),
+            ).alias("avg_nlogp_e6"),
+        )
+    )
+    return scores, trans_model, ctx_model

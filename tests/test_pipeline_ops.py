@@ -268,3 +268,44 @@ def test_dsir_validation(spark):
         dsir_gumbel_topk(w, 0)
     with pytest.raises(ValueError):
         dsir_gumbel_topk(w, 1, temperature=0.0)
+
+
+def test_ccnet_perplexity_orders_reference_like_docs_first(spark):
+    from linkgraph.text.pipeline import ccnet_perplexity
+
+    ref_text = "the cat sat on the mat and the dog sat on the rug " * 4
+    docs = spark.createDataFrame(
+        [
+            (0, ref_text),                     # reference member
+            (1, "the cat sat on the mat"),     # reference-like
+            (2, "zxq qvw jkl pqr mno abc"),    # unseen junk
+            (3, "one"),                        # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.filter("doc_id = 0")
+    scores, trans, ctx = ccnet_perplexity(docs, ref, num_buckets=64)
+    rows = {r.doc_id: r for r in scores.collect()}
+    assert rows[3].n_terms == 0 and rows[3].avg_nlogp_e6 is None
+    # reference-like doc scores strictly better (lower nlogp) than junk
+    assert rows[1].avg_nlogp_e6 < rows[2].avg_nlogp_e6
+    # model invariants: context totals equal the sum of their transitions
+    c1 = {bp: c for bp, c, _ in ctx}
+    agg = {}
+    for bp, _bc, c2, _s in trans:
+        agg[bp] = agg.get(bp, 0) + c2
+    assert agg == c1
+    # exact integer consistency: sum_e equals a manual replay
+    assert rows[1].avg_nlogp_e6 == round(-rows[1].sum_e / rows[1].n_terms)
+
+
+def test_ccnet_perplexity_validates_knobs(spark):
+    from linkgraph.text.pipeline import ccnet_perplexity
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ccnet_perplexity(docs, docs, num_buckets=1)
+    with _pytest.raises(ValueError):
+        ccnet_perplexity(docs, docs, alpha=0)
