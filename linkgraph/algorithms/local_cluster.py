@@ -45,11 +45,20 @@ def local_cluster(
     alpha: float = 0.85,
     iterations: int = 10,
     num_partitions: int | None = None,
+    max_support: int | None = None,
 ) -> DataFrame:
     """DF[vertex, rank, cut, den, phi_e9] — the minimum-conductance sweep
     prefix around ``seed``. ``cut``/``den`` are the exact integer
     conductance numerator/denominator (in symmetric edge-row units);
     ``phi_e9 = (2e9*cut + den) // (2*den)`` (half-up integer rounding).
+
+    ``max_support`` truncates the sweep to the top-M support vertices by
+    the sweep's own ordering (a distributed TakeOrdered, never a global
+    sort) — the standard ACL bound when the walk reaches a large fraction
+    of the graph. Truncation is EXACT for the prefixes it keeps: cut and
+    volume of a rank-k prefix never depend on vertices ranked beyond k,
+    so the result equals the untruncated sweep whenever the untruncated
+    argmin lands within the first M ranks (local communities do).
     """
     if graph.directed:
         raise ValueError("local_cluster expects an undirected graph")
@@ -80,9 +89,14 @@ def local_cluster(
         F.count("*").alias("deg")
     )
     # sweep ranking — SUPPORT-scale window (PPR-reached vertices only)
+    base = p.join(deg, on="vertex")
+    if max_support is not None:
+        base = base.orderBy(
+            (F.col("p7").cast("double") / F.col("deg")).desc(),
+            F.col("vertex").asc(),
+        ).limit(max_support)
     sweep = (
-        p.join(deg, on="vertex")
-        .withColumn(
+        base.withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(

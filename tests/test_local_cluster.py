@@ -54,3 +54,11 @@ def test_ranks_are_sweep_prefix(spark):
     out = local_cluster(g, seed=0, iterations=8).collect()
     ranks = sorted(r.rank for r in out)
     assert ranks == list(range(1, len(out) + 1))
+
+
+def test_max_support_truncation_is_exact_prefix(spark):
+    g = _g(spark, _barbell())
+    full = local_cluster(g, seed=0, iterations=8).collect()
+    trunc = local_cluster(g, seed=0, iterations=8, max_support=6).collect()
+    assert sorted((r.vertex, r.rank, r.cut, r.den, r.phi_e9) for r in full) == \
+        sorted((r.vertex, r.rank, r.cut, r.den, r.phi_e9) for r in trunc)
