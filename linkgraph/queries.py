@@ -4249,3 +4249,53 @@ def _ccnet_oracle() -> str:
 
 QUERIES["doc_ccnet"] = q_doc_ccnet
 ORACLES["doc_ccnet"] = _ccnet_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (batched ego balls)
+# ---------------------------------------------------------------------------
+
+MSBFS_SEEDS = [0, 7, 200]
+MSBFS_DEPTH = 4
+
+
+def q_multi_source_bfs(spark, sf_dir):
+    """Batched BFS from several roots in the same supersteps
+    (algorithms/traversal.py multi_source_bfs over batched_ego_graphs):
+    frontier joins size-gated between broadcast and co-partitioned, rows
+    tagged by seed; out-edge expansion on the directed supply graph."""
+    from .algorithms.traversal import multi_source_bfs
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    return multi_source_bfs(g, MSBFS_SEEDS, depth_limit=MSBFS_DEPTH).select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+def _msbfs_oracle() -> str:
+    seeds = ", ".join(str(s) for s in MSBFS_SEEDS)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        f"d0 AS (SELECT seed, CAST(seed AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist "
+        f"FROM (SELECT unnest([{seeds}]) AS seed))",
+    ]
+    for k in range(1, MSBFS_DEPTH + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT seed, v, min(dist) AS dist FROM ("
+            f"SELECT seed, v, dist FROM d{k-1} "
+            f"UNION ALL "
+            f"SELECT p.seed, e.dst AS v, p.dist + 1 AS dist "
+            f"FROM edges e JOIN d{k-1} p ON e.src = p.v WHERE p.dist = {k-1}"
+            f") GROUP BY seed, v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(seed AS BIGINT) AS seed, v AS vertex, dist AS distance "
+        f"FROM d{MSBFS_DEPTH}"
+    )
+
+
+QUERIES["multi_source_bfs"] = q_multi_source_bfs
+ORACLES["multi_source_bfs"] = _msbfs_oracle()
