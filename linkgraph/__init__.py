@@ -43,6 +43,10 @@ from .algorithms.traversal import (
     sssp,
 )
 from .algorithms.katz import KatzConvergenceError, katz_centrality
+from .algorithms.eigenvector import (
+    EigenvectorConvergenceError,
+    eigenvector_centrality,
+)
 from .algorithms.hits import hits
 from .algorithms.salsa import salsa
 from .algorithms.anf import (
@@ -270,6 +274,8 @@ __all__ = [
     "ktruss_subgraph",
     "k_core",
     "katz_centrality",
+    "EigenvectorConvergenceError",
+    "eigenvector_centrality",
     "label_propagation",
     "language_id",
     "louvain",

@@ -4299,3 +4299,55 @@ def _msbfs_oracle() -> str:
 
 QUERIES["multi_source_bfs"] = q_multi_source_bfs
 ORACLES["multi_source_bfs"] = _msbfs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality (shifted power iteration, NetworkX semantics)
+# ---------------------------------------------------------------------------
+
+EIG_ITERS = 8
+
+
+def q_eigenvector(spark, sf_dir):
+    """Shifted power iteration x <- normalize_L2(x + N^T x) on the directed
+    supply graph (algorithms/eigenvector.py); fixed supersteps so the
+    oracle can unroll them, e7-quantized output."""
+    from .algorithms.eigenvector import eigenvector_centrality
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    res = eigenvector_centrality(g, fixed_iterations=EIG_ITERS)
+    return res.select(
+        "vertex",
+        F.round(F.col("eigenvector_centrality") * 1e7).cast("long").alias("ev_e7"),
+    )
+
+
+def _eigenvector_oracle() -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL})",
+        "univ AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "c0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS c_raw FROM univ)",
+        "n0 AS MATERIALIZED (SELECT sqrt(CAST(count(*) AS DOUBLE)) AS nrm FROM univ)",
+    ]
+    for k in range(1, EIG_ITERS + 1):
+        p, pn = f"c{k-1}", f"n{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT b.v, "
+            f"b.c_raw / (SELECT nrm FROM {pn}) + coalesce(m.s, 0.0) AS c_raw "
+            f"FROM {p} b LEFT JOIN (SELECT e.dst AS v, "
+            f"sum(p.c_raw) / (SELECT nrm FROM {pn}) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v GROUP BY e.dst) m ON b.v = m.v)"
+        )
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(sum(c_raw * c_raw)) AS nrm FROM c{k})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS vertex, CAST(round(c_raw / (SELECT nrm FROM n{EIG_ITERS})"
+        f" * 1e7) AS BIGINT) AS ev_e7 FROM c{EIG_ITERS}"
+    )
+
+
+QUERIES["eigenvector"] = q_eigenvector
+ORACLES["eigenvector"] = _eigenvector_oracle()

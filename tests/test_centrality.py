@@ -204,3 +204,67 @@ def test_salsa_stationary_is_degree_proportional(spark):
     for r in res:
         assert abs(r.authorities - idg.get(r.vertex, 0) / E) < 1e-6
         assert abs(r.hubs - od.get(r.vertex, 0) / E) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality (shifted power iteration, NetworkX semantics)
+# ---------------------------------------------------------------------------
+
+
+def oracle_eigenvector(src, dst, V, max_iter, tol, fixed=None):
+    x = np.full(V, 1.0)
+    x /= np.sqrt((x * x).sum())
+    it = fixed if fixed is not None else max_iter
+    for _ in range(it):
+        new = x.copy()
+        np.add.at(new, dst, x[src])
+        nrm = np.sqrt((new * new).sum())
+        new /= nrm
+        d = np.abs(new - x).sum()
+        x = new
+        if fixed is None and d < V * tol:
+            break
+    return x
+
+
+def test_eigenvector_karate(spark):
+    from linkgraph import eigenvector_centrality
+
+    g = Graph.from_edgelist(load_csv_edges(spark, "karate.csv"), renumber=False, directed=False)
+    V = g.number_of_vertices()
+    src, dst = _coo(g)
+    res = eigenvector_centrality(g, tol=1e-9, max_iter=1000)
+    got = {r.vertex: r.eigenvector_centrality for r in res.collect()}
+    exp = oracle_eigenvector(src, dst, V, 1000, 1e-9)
+    for v in range(V):
+        assert abs(got[v] - exp[v]) < 1e-6
+
+
+def test_eigenvector_fixed_iterations_and_bipartite(spark):
+    """Plain power iteration zeroes on a directed bipartite DAG; the shifted
+    recurrence must not — and fixed_iterations must match the unrolled
+    oracle step for step."""
+    from linkgraph import eigenvector_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (1, 3)], ["src", "dst"]
+    )
+    g = Graph.from_edgelist(edges, renumber=False, directed=True)
+    V = g.number_of_vertices()
+    src, dst = _coo(g)
+    for iters in (1, 3):
+        res = eigenvector_centrality(g, fixed_iterations=iters)
+        got = {r.vertex: r.eigenvector_centrality for r in res.collect()}
+        exp = oracle_eigenvector(src, dst, V, 0, 0, fixed=iters)
+        for v in range(V):
+            assert abs(got[v] - exp[v]) < 1e-9
+
+
+def test_eigenvector_nstart_zero_raises(spark):
+    from linkgraph import eigenvector_centrality
+
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    g = Graph.from_edgelist(edges, renumber=False, directed=True)
+    ns = spark.createDataFrame([(0, 0.0), (1, 0.0)], ["vertex", "values"])
+    with pytest.raises(ValueError):
+        eigenvector_centrality(g, nstart=ns)
