@@ -55,6 +55,7 @@ from .algorithms.anf import (
     harmonic_centrality,
     neighborhood_function,
 )
+from .algorithms.cocitation import bibliographic_coupling, cocitation
 from .algorithms.link_prediction import (
     adamic_adar,
     cosine,
@@ -266,6 +267,8 @@ __all__ = [
     "hypergraph",
     "hyperplane_signatures",
     "adamic_adar",
+    "bibliographic_coupling",
+    "cocitation",
     "cosine",
     "jaccard",
     "jaccard_w",

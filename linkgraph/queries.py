@@ -4351,3 +4351,53 @@ def _eigenvector_oracle() -> str:
 
 QUERIES["eigenvector"] = q_eigenvector
 ORACLES["eigenvector"] = _eigenvector_oracle()
+
+
+# ---------------------------------------------------------------------------
+# co-citation / bibliographic coupling (Small 1973 / Kessler 1963)
+# ---------------------------------------------------------------------------
+
+
+def q_cocitation(spark, sf_dir):
+    """Directed citation projections on the supply graph
+    (algorithms/cocitation.py): pairs cited together (common in-neighbors)
+    full-outer-merged with pairs citing the same targets (common
+    out-neighbors), floored at count >= 2 on either side."""
+    from .algorithms.cocitation import bibliographic_coupling, cocitation
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    cc = cocitation(g, min_count=2)
+    bc = bibliographic_coupling(g, min_count=2)
+    return (
+        cc.join(bc, on=["first", "second"], how="full")
+        .select(
+            "first",
+            "second",
+            F.coalesce("cocitation", F.lit(0)).alias("cocitation"),
+            F.coalesce("coupling", F.lit(0)).alias("coupling"),
+        )
+    )
+
+
+COCITATION_SQL = f"""
+WITH edges AS MATERIALIZED ({SUPPLY_EDGES_SQL}),
+cc AS (
+  SELECT a.dst AS first, b.dst AS second, count(*) AS cocitation
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst HAVING count(*) >= 2
+),
+bc AS (
+  SELECT a.src AS first, b.src AS second, count(*) AS coupling
+  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src HAVING count(*) >= 2
+)
+SELECT coalesce(cc.first, bc.first) AS first,
+       coalesce(cc.second, bc.second) AS second,
+       coalesce(cc.cocitation, 0) AS cocitation,
+       coalesce(bc.coupling, 0) AS coupling
+FROM cc FULL OUTER JOIN bc ON cc.first = bc.first AND cc.second = bc.second
+"""
+
+
+QUERIES["cocitation"] = q_cocitation
+ORACLES["cocitation"] = COCITATION_SQL
