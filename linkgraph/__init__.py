@@ -11,7 +11,14 @@ and training-data-pipeline ops (dedup tiers, text analysis, ANN search).
 """
 
 from .corpus import generate_pages
-from .extract import extract_links, extract_text, pages_to_edges
+from .extract import (
+    anchor_text_index,
+    extract_anchors,
+    extract_links,
+    extract_text,
+    pages_to_edges,
+    top_anchor_terms,
+)
 from .generators import (
     erdos_renyi_edges,
     mesh_graph_edges,
@@ -252,8 +259,11 @@ __all__ = [
     "harmonic_centrality",
     "ego_graph",
     "exact_dedup",
+    "anchor_text_index",
+    "extract_anchors",
     "extract_links",
     "extract_text",
+    "top_anchor_terms",
     "filter_unreachable",
     "from_numpy_array",
     "from_numpy_matrix",

@@ -100,8 +100,25 @@ def _outlinks(i: int, n_pages: int, rng: np.random.Generator) -> list[int]:
     return dsts
 
 
-def _render_html(title_toks: str, paras: list[str], out_urls: list[str]) -> str:
-    links = "".join(f'<li><a href="{u}">link</a></li>' for u in out_urls)
+def anchor_words(src_id: int, pos: int, dst_id: int) -> str:
+    """Deterministic 2-word anchor text for link #pos of page src -> dst.
+
+    Pure hash of the link coordinates (does NOT consume the page rng stream,
+    so adding anchors left every other generated column bit-identical)."""
+    h = (src_id * 1_000_003 + pos * 8_191 + dst_id * 131_071) & 0x7FFFFFFF
+    return f"{VOCAB[h % 512]} {VOCAB[(h // 512) % 512]}"
+
+
+def _render_html(
+    title_toks: str,
+    paras: list[str],
+    out_urls: list[str],
+    anchors: list[str] | None = None,
+) -> str:
+    anchors = anchors or ["link"] * len(out_urls)
+    links = "".join(
+        f'<li><a href="{u}">{a}</a></li>' for u, a in zip(out_urls, anchors)
+    )
     body = "".join(f"<p>{p}</p>" for p in paras)
     return (
         f"<html><head><title>{title_toks}</title></head><body>"
@@ -130,8 +147,11 @@ def generate_pages(
                 paras = text.split(PARA_SEP)
                 out_ids = _outlinks(i, n_pages, rng)
                 out_urls = [url_of(d, n_pages) for d in out_ids]
+                anchors = [
+                    anchor_words(i, k, d) for k, d in enumerate(out_ids)
+                ]
                 title = " ".join(paras[0].split(" ")[:5])
-                html = _render_html(title, paras, out_urls).encode("utf-8")
+                html = _render_html(title, paras, out_urls, anchors).encode("utf-8")
                 rows.append(
                     (
                         url_of(i, n_pages),

@@ -23,6 +23,7 @@ from .corpus import PARA_SEP
 
 _P_RE = re.compile(r"<p>(.*?)</p>", re.S)
 _A_RE = re.compile(r'<a href="([^"]+)"')
+_ANCHOR_RE = re.compile(r'<a href="([^"]+)"\s*>([^<]*)</a>', re.S)
 
 
 @pandas_udf(T.StringType())
@@ -51,6 +52,31 @@ def extract_links(html: pd.Series) -> pd.Series:
     return html.map(one)
 
 
+_ANCHOR_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("dst", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_ANCHOR_T)
+def extract_anchors(html: pd.Series) -> pd.Series:
+    """binary html -> array<struct<dst, anchor>>: (href, anchor text) pairs
+    in document order. Same Arrow-batched boundary as extract_links; the
+    anchor text is the raw inner text of the <a> element."""
+
+    def one(b) -> list[tuple[str, str]]:
+        if b is None:
+            return []
+        s = b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else str(b)
+        return _ANCHOR_RE.findall(s)
+
+    return html.map(one)
+
+
 def pages_to_edges(pages: DataFrame) -> DataFrame:
     """pages(url, html, ...) -> edge table (src:string url, dst:string url).
 
@@ -62,4 +88,61 @@ def pages_to_edges(pages: DataFrame) -> DataFrame:
     """
     return (
         pages.select(F.col("url").alias("src"), F.explode(extract_links("html")).alias("dst"))
+    )
+
+
+def anchor_text_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_count: int = 1,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Per-target anchor-term inverted index: DF[dst, term, cnt].
+
+    The classic web-search signal (anchor text describes the TARGET better
+    than the target's own text — Brin & Page 1998 §2.2): aggregate, per
+    linked-to url, the lowercase whitespace terms of every anchor whose
+    href points at it.
+
+    Physical plan: one Arrow-batched extraction map (extract_anchors) +
+    explode, then ONE map-side-combined shuffle keyed (dst, term) — hub
+    targets (the skew axis: everything links to the homepage) collapse in
+    the partial aggregate, so reducer-side rows are bounded by distinct
+    (dst, term), not in-degree. ``min_count`` floors emitted terms in the
+    same job.
+    """
+    a = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(extract_anchors(html_col)).alias("lnk"),
+    ).select("src", F.col("lnk.dst").alias("dst"), F.col("lnk.anchor").alias("anchor"))
+    if drop_self:
+        a = a.filter(F.col("src") != F.col("dst"))
+    terms = a.select(
+        "dst",
+        F.explode(F.split(F.lower(F.trim("anchor")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("dst", "term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def top_anchor_terms(index: DataFrame, k: int = 3) -> DataFrame:
+    """DF[dst, term, cnt, rank]: top-k anchor terms per target url.
+
+    Rank by (cnt desc, term asc) — fully deterministic. The window is
+    hash-partitioned per dst (never a global sort); per-partition top-k
+    would prune first at extreme term fan-out, but the index is already
+    aggregated so groups are |distinct terms per dst|-sized.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        index.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

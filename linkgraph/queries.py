@@ -4401,3 +4401,80 @@ FROM cc FULL OUTER JOIN bc ON cc.first = bc.first AND cc.second = bc.second
 
 QUERIES["cocitation"] = q_cocitation
 ORACLES["cocitation"] = COCITATION_SQL
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation (Brin & Page 1998 §2.2 anchor propagation)
+# ---------------------------------------------------------------------------
+
+
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text inverted index + per-target top-2 terms: a deterministic
+    link+anchor structure is derived from the documents table (3 outlinks
+    per doc at (doc_id*31 + 7k) mod N, anchor text = source tokens 2k,2k+1),
+    rendered to REAL html, then run through the production extract_anchors
+    pandas UDF -> anchor_text_index -> top_anchor_terms (extract.py); the
+    oracle replays the same derivation relationally."""
+    from .extract import anchor_text_index, top_anchor_terms
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    toks = F.split(F.col("text"), " ")
+    parts = [F.lit("<html><body><ul>")]
+    for k in (1, 2, 3):
+        tgt = (F.col("doc_id") * 31 + 7 * k) % F.lit(n)
+        anchor = F.concat_ws(
+            " ",
+            F.coalesce(F.element_at(toks, 2 * k + 1), F.lit("")),
+            F.coalesce(F.element_at(toks, 2 * k + 2), F.lit("")),
+        )
+        parts += [
+            F.lit('<li><a href="doc://'),
+            tgt.cast("string"),
+            F.lit('">'),
+            anchor,
+            F.lit("</a></li>"),
+        ]
+    parts.append(F.lit("</ul></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(*parts).alias("html"),
+    )
+    idx = anchor_text_index(pages, min_count=2)
+    return top_anchor_terms(idx, k=2).select(
+        "dst", "term", F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+ANCHOR_TERMS_SQL = """
+WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+lnk AS (
+  SELECT 'doc://' || CAST((d.doc_id * 31 + 7 * k.k) % n.n AS VARCHAR) AS dst,
+         'doc://' || CAST(d.doc_id AS VARCHAR) AS src,
+         str_split(d.text, ' ') AS toks, k.k
+  FROM documents d CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+),
+terms AS (
+  SELECT dst, lower(trim(tok)) AS term FROM (
+    SELECT dst, src, toks[2 * k + 1] AS tok FROM lnk
+    UNION ALL
+    SELECT dst, src, toks[2 * k + 2] AS tok FROM lnk
+  ) WHERE src <> dst AND tok IS NOT NULL AND trim(tok) <> ''
+),
+idx AS (
+  SELECT dst, term, count(*) AS cnt FROM terms GROUP BY dst, term
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT dst, term, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, term ASC) AS rank
+  FROM idx
+)
+SELECT dst, term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
+QUERIES["anchor_terms"] = q_anchor_terms
+ORACLES["anchor_terms"] = ANCHOR_TERMS_SQL
