@@ -62,6 +62,7 @@ from .algorithms.anf import (
     harmonic_centrality,
     neighborhood_function,
 )
+from .algorithms.bowtie import bowtie_structure
 from .algorithms.cocitation import bibliographic_coupling, cocitation
 from .algorithms.link_prediction import (
     adamic_adar,
@@ -278,6 +279,7 @@ __all__ = [
     "hyperplane_signatures",
     "adamic_adar",
     "bibliographic_coupling",
+    "bowtie_structure",
     "cocitation",
     "cosine",
     "jaccard",

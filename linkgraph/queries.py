@@ -4478,3 +4478,169 @@ FROM ranked WHERE rank <= 2
 
 QUERIES["anchor_terms"] = q_anchor_terms
 ORACLES["anchor_terms"] = ANCHOR_TERMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition (Broder et al. 2000)
+# ---------------------------------------------------------------------------
+# Purpose-built 600-vertex graph with every Broder class structurally
+# populated: band 0 = IN (0-99), 1 = CORE ring (100-299), 2 = OUT
+# (300-399), 3 = in-tendrils (400-449), 4 = out-tendrils (450-499),
+# 5 = tubes (500-549), 6 = a disconnected ring (550-599). Residue edges
+# from lineitem add deterministic bulk, thinned to ~1/13 and filtered by a
+# band-transition whitelist so the macro-structure is invariant while the
+# oracle still derives every class from first principles (transitive
+# closure), independent of the band layout.
+
+BOWTIE_EDGES_CTES = """
+bt_s AS (SELECT unnest(generate_series(0, 599)) AS v),
+bt_structural AS (
+  SELECT v AS src, 100 + ((v - 100 + 1) % 200) AS dst FROM bt_s WHERE v BETWEEN 100 AND 299
+  UNION ALL SELECT v, v + 100 FROM bt_s WHERE v < 100
+  UNION ALL SELECT v - 200, v FROM bt_s WHERE v BETWEEN 300 AND 399
+  UNION ALL SELECT v - 400, v FROM bt_s WHERE v BETWEEN 400 AND 449
+  UNION ALL SELECT v, v - 150 FROM bt_s WHERE v BETWEEN 450 AND 499
+  UNION ALL SELECT v - 500, v FROM bt_s WHERE v BETWEEN 500 AND 549
+  UNION ALL SELECT v, v - 200 FROM bt_s WHERE v BETWEEN 500 AND 549
+  UNION ALL SELECT v, 550 + ((v - 550 + 1) % 50) FROM bt_s WHERE v >= 550
+),
+bt_resid AS (
+  SELECT src, dst FROM (
+    SELECT l_orderkey % 600 AS src,
+           (l_partkey + 3 * l_suppkey) % 600 AS dst
+    FROM lineitem
+  )
+  WHERE src <> dst AND (src * 31 + dst) % 13 = 0
+    AND (CASE WHEN src < 100 THEN 0 WHEN src < 300 THEN 1 WHEN src < 400 THEN 2
+              WHEN src < 450 THEN 3 WHEN src < 500 THEN 4 WHEN src < 550 THEN 5
+              ELSE 6 END) * 10
+      + (CASE WHEN dst < 100 THEN 0 WHEN dst < 300 THEN 1 WHEN dst < 400 THEN 2
+              WHEN dst < 450 THEN 3 WHEN dst < 500 THEN 4 WHEN dst < 550 THEN 5
+              ELSE 6 END)
+      IN (0, 1, 11, 12, 22, 3, 33, 44, 42, 5, 55, 52, 66)
+),
+bt_edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+  FROM (SELECT * FROM bt_structural UNION ALL SELECT * FROM bt_resid)
+)
+"""
+
+
+def bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of BOWTIE_EDGES_CTES — MUST stay in sync."""
+    li = _lineitem(spark, sf_dir)
+
+    def band(c):
+        return (
+            F.when(c < 100, 0)
+            .when(c < 300, 1)
+            .when(c < 400, 2)
+            .when(c < 450, 3)
+            .when(c < 500, 4)
+            .when(c < 550, 5)
+            .otherwise(6)
+        )
+
+    resid = (
+        li.select(
+            (F.col("l_orderkey") % 600).alias("src"),
+            ((F.col("l_partkey") + 3 * F.col("l_suppkey")) % 600).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter(((F.col("src") * 31 + F.col("dst")) % 13) == 0)
+        .filter(
+            (band(F.col("src")) * 10 + band(F.col("dst"))).isin(
+                0, 1, 11, 12, 22, 3, 33, 44, 42, 5, 55, 52, 66
+            )
+        )
+    )
+
+    v = spark.range(600).select(F.col("id").alias("v"))
+    V = F.col("v")
+
+    def seg(lo, hi, src_e, dst_e):
+        return v.filter((V >= lo) & (V < hi)).select(
+            src_e.alias("src"), dst_e.alias("dst")
+        )
+
+    structural = (
+        seg(100, 300, V, 100 + ((V - 100 + 1) % 200))
+        .unionByName(seg(0, 100, V, V + 100))
+        .unionByName(seg(300, 400, V - 200, V))
+        .unionByName(seg(400, 450, V - 400, V))
+        .unionByName(seg(450, 500, V, V - 150))
+        .unionByName(seg(500, 550, V - 500, V))
+        .unionByName(seg(500, 550, V, V - 200))
+        .unionByName(seg(550, 600, V, 550 + ((V - 550 + 1) % 50)))
+    )
+    return (
+        structural.unionByName(resid)
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie classes over the purpose-built web-shaped graph
+    (algorithms/bowtie.py: SCC + WCC + four frontier-fixpoint reach sets)."""
+    from .algorithms.bowtie import bowtie_structure
+
+    g = Graph.from_edgelist(bowtie_edges(spark, sf_dir), directed=True, renumber=False)
+    return bowtie_structure(g)
+
+
+# Oracle: full directed + undirected transitive closures (600 vertices fit
+# comfortably), then the Broder class rules verbatim — largest SCC by
+# (count desc, label asc), IN/OUT by reach to/from it, giant weak
+# component, TUBES = fwd(IN) ∩ bwd(OUT) inside the leftovers.
+BOWTIE_SQL = f"""
+WITH RECURSIVE {BOWTIE_EDGES_CTES},
+reach(a, b) AS (
+    SELECT src AS a, dst AS b FROM bt_edges
+    UNION
+    SELECT r.a, e.dst AS b FROM reach r JOIN bt_edges e ON r.b = e.src
+),
+bt_uedges AS MATERIALIZED (
+    SELECT src, dst FROM bt_edges UNION SELECT dst, src FROM bt_edges
+),
+ureach(a, b) AS (
+    SELECT src AS a, dst AS b FROM bt_uedges
+    UNION
+    SELECT r.a, e.dst AS b FROM ureach r JOIN bt_uedges e ON r.b = e.src
+),
+univ AS (SELECT unnest(generate_series(0,
+         (SELECT max(greatest(src, dst)) FROM bt_edges))) AS v),
+mutual AS (SELECT r1.a AS v, min(r1.b) AS m
+           FROM reach r1 JOIN reach r2 ON r1.b = r2.a AND r2.b = r1.a
+           GROUP BY r1.a),
+comp AS (SELECT u.v, least(u.v, coalesce(m.m, u.v)) AS c
+         FROM univ u LEFT JOIN mutual m ON u.v = m.v),
+core_id AS (SELECT c FROM comp GROUP BY c ORDER BY count(*) DESC, c ASC LIMIT 1),
+corev AS (SELECT v FROM comp WHERE c = (SELECT c FROM core_id)),
+inv AS (SELECT DISTINCT r.a AS v FROM reach r
+        WHERE r.b IN (SELECT v FROM corev) AND r.a NOT IN (SELECT v FROM corev)),
+outv AS (SELECT DISTINCT r.b AS v FROM reach r
+         WHERE r.a IN (SELECT v FROM corev) AND r.b NOT IN (SELECT v FROM corev)),
+fwdin AS (SELECT v FROM inv
+          UNION SELECT DISTINCT r.b AS v FROM reach r WHERE r.a IN (SELECT v FROM inv)),
+bwdout AS (SELECT v FROM outv
+           UNION SELECT DISTINCT r.a AS v FROM reach r WHERE r.b IN (SELECT v FROM outv)),
+wmin AS (SELECT a AS v, min(b) AS m FROM ureach GROUP BY a),
+wcomp AS (SELECT u.v, least(u.v, coalesce(w.m, u.v)) AS c
+          FROM univ u LEFT JOIN wmin w ON u.v = w.v),
+giant AS (SELECT c FROM wcomp GROUP BY c ORDER BY count(*) DESC, c ASC LIMIT 1)
+SELECT CAST(u.v AS BIGINT) AS vertex,
+       CASE WHEN u.v IN (SELECT v FROM corev) THEN 'CORE'
+            WHEN u.v IN (SELECT v FROM inv) THEN 'IN'
+            WHEN u.v IN (SELECT v FROM outv) THEN 'OUT'
+            WHEN (SELECT c FROM wcomp w WHERE w.v = u.v) <> (SELECT c FROM giant)
+                 THEN 'DISCONNECTED'
+            WHEN u.v IN (SELECT v FROM fwdin) AND u.v IN (SELECT v FROM bwdout)
+                 THEN 'TUBES'
+            ELSE 'TENDRILS' END AS cls
+FROM univ u
+"""
+
+
+QUERIES["bowtie"] = q_bowtie
+ORACLES["bowtie"] = BOWTIE_SQL
