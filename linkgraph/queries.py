@@ -4644,3 +4644,60 @@ FROM univ u
 
 QUERIES["bowtie"] = q_bowtie
 ORACLES["bowtie"] = BOWTIE_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram LM count tables (Kneser-Ney continuation counts)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_ngram_lm(spark, sf_dir):
+    """Corpus 1..3-gram counts + KN continuation counts over the documents
+    table (text/lm.py), top-300 per order by (cnt desc, gram) so the row
+    count stays bounded while the heavy head of the distribution — the
+    part an LM pipeline actually smooths — is value-checked exactly."""
+    from pyspark.sql import Window
+
+    from .text.lm import ngram_lm_counts
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    counts = ngram_lm_counts(d, n_max=3, min_count=2)
+    w = Window.partitionBy("ord").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 300)
+        .select("ord", "gram", "cnt", "cont_cnt", "rnk")
+    )
+
+
+DOC_NGRAM_LM_SQL = """
+WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks),
+g AS (
+  SELECT 1 AS ord, t[i] AS gram FROM pos
+  UNION ALL
+  SELECT 2, array_to_string(t[i:i+1], ' ') FROM pos WHERE i + 1 <= len(t)
+  UNION ALL
+  SELECT 3, array_to_string(t[i:i+2], ' ') FROM pos WHERE i + 2 <= len(t)
+),
+cnts AS (SELECT ord, gram, count(*) AS cnt FROM g GROUP BY ord, gram),
+cont AS (
+  SELECT ord - 1 AS ord,
+         substring(gram, position(' ' IN gram) + 1) AS gram,
+         count(*) AS cont_cnt
+  FROM cnts WHERE ord >= 2 GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c.ord, c.gram, c.cnt, coalesce(ct.cont_cnt, 0) AS cont_cnt,
+         row_number() OVER (PARTITION BY c.ord ORDER BY c.cnt DESC, c.gram ASC) AS rnk
+  FROM cnts c LEFT JOIN cont ct ON c.ord = ct.ord AND c.gram = ct.gram
+  WHERE c.cnt >= 2
+)
+SELECT CAST(ord AS BIGINT) AS ord, gram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cont_cnt AS BIGINT) AS cont_cnt, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 300
+"""
+
+
+QUERIES["doc_ngram_lm"] = q_doc_ngram_lm
+ORACLES["doc_ngram_lm"] = DOC_NGRAM_LM_SQL
