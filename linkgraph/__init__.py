@@ -11,6 +11,7 @@ and training-data-pipeline ops (dedup tiers, text analysis, ANN search).
 """
 
 from .corpus import generate_pages
+from .crawl import crawl_delta, edge_delta_from_crawls, latest_snapshot
 from .extract import (
     anchor_text_index,
     extract_anchors,

@@ -4701,3 +4701,126 @@ FROM ranked WHERE rnk <= 300
 
 QUERIES["doc_ngram_lm"] = q_doc_ngram_lm
 ORACLES["doc_ngram_lm"] = DOC_NGRAM_LM_SQL
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot delta (linkgraph/crawl.py)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Two-crawl recrawl pipeline over REAL rendered html: snapshot t0 is
+    docs with doc_id%13!=0 (links k=1..3 at (i*31+7k)%n), snapshot t1 is
+    docs with doc_id%17!=3 (docs with i%5==1 are CHANGED: ' v2' body, links
+    (i*37+11k)%n); the new crawl also carries stale t0 recaptures for
+    i%7==2 so latest_snapshot's max-of-struct resolution is exercised.
+    Production path: latest_snapshot -> crawl_delta (md5 of html, bodies
+    never shuffled) -> edge_delta_from_crawls (extraction UDF touches only
+    moved pages). Output: per-url status + signed edge-delta counts; the
+    oracle re-derives everything relationally."""
+    from .crawl import crawl_delta, edge_delta_from_crawls, latest_snapshot
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    i = F.col("doc_id")
+    url = F.concat(F.lit("doc://"), i.cast("string"))
+
+    def render(mul, off, v2):
+        parts = [F.lit("<html><body><p>"), F.col("text")]
+        if v2:
+            parts.append(F.lit(" v2"))
+        parts.append(F.lit("</p><ul>"))
+        for k in (1, 2, 3):
+            tgt = (i * mul + off * k) % F.lit(n)
+            parts += [
+                F.lit('<li><a href="doc://'),
+                tgt.cast("string"),
+                F.lit('">l</a></li>'),
+            ]
+        parts.append(F.lit("</ul></body></html>"))
+        return F.concat(*parts)
+
+    chg = i % 5 == 1
+    html0 = render(31, 7, False)
+    html1 = F.when(chg, render(37, 11, True)).otherwise(html0)
+    t0 = d.filter(i % 13 != 0).select(
+        url.alias("url"),
+        F.timestamp_seconds(i + 1000).alias("warc_ts"),
+        html0.alias("html"),
+    )
+    t1 = d.filter(i % 17 != 3).select(
+        url.alias("url"),
+        F.timestamp_seconds(i + 2000).alias("warc_ts"),
+        html1.alias("html"),
+    )
+    stale = d.filter((i % 7 == 2) & (i % 13 != 0) & (i % 17 != 3)).select(
+        url.alias("url"),
+        F.timestamp_seconds(i + 1000).alias("warc_ts"),
+        html0.alias("html"),
+    )
+    old = latest_snapshot(t0)
+    new = latest_snapshot(t1.unionByName(stale))
+    st = crawl_delta(old, new)
+    ed = edge_delta_from_crawls(old, new, statuses=st)
+    agg = ed.groupBy(F.col("src").alias("url")).agg(
+        F.sum(F.when(F.col("op") == 1, 1).otherwise(0)).alias("edge_adds"),
+        F.sum(F.when(F.col("op") == -1, 1).otherwise(0)).alias("edge_dels"),
+    )
+    return st.join(agg, on="url", how="left").select(
+        "url",
+        "status",
+        F.coalesce(F.col("edge_adds"), F.lit(0)).cast("long").alias("edge_adds"),
+        F.coalesce(F.col("edge_dels"), F.lit(0)).cast("long").alias("edge_dels"),
+    )
+
+
+CRAWL_DELTA_SQL = """
+WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+base AS (
+  SELECT doc_id, doc_id % 5 = 1 AS chg,
+         doc_id % 13 <> 0 AS in0, doc_id % 17 <> 3 AS in1
+  FROM documents
+),
+st AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN in0 AND NOT in1 THEN 'removed'
+              WHEN in1 AND NOT in0 THEN 'added'
+              WHEN chg THEN 'changed' ELSE 'unchanged' END AS status
+  FROM base WHERE in0 OR in1
+),
+ks AS (SELECT unnest([1, 2, 3]) AS k),
+oe AS (
+  SELECT DISTINCT 'doc://' || CAST(b.doc_id AS VARCHAR) AS src,
+         'doc://' || CAST((b.doc_id * 31 + 7 * ks.k) % n.n AS VARCHAR) AS dst
+  FROM base b CROSS JOIN n CROSS JOIN ks
+  WHERE b.in0 AND (NOT b.in1 OR b.chg)
+),
+ne AS (
+  SELECT DISTINCT 'doc://' || CAST(b.doc_id AS VARCHAR) AS src,
+         'doc://' || CAST((b.doc_id * (CASE WHEN b.chg THEN 37 ELSE 31 END)
+                           + (CASE WHEN b.chg THEN 11 ELSE 7 END) * ks.k) % n.n
+                          AS VARCHAR) AS dst
+  FROM base b CROSS JOIN n CROSS JOIN ks
+  WHERE b.in1 AND (NOT b.in0 OR b.chg)
+),
+ed AS (
+  SELECT coalesce(oe.src, ne.src) AS url,
+         CASE WHEN oe.src IS NULL THEN 1 ELSE -1 END AS op
+  FROM oe FULL OUTER JOIN ne ON oe.src = ne.src AND oe.dst = ne.dst
+  WHERE oe.src IS NULL OR ne.src IS NULL
+),
+agg AS (
+  SELECT url,
+         sum(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS edge_adds,
+         sum(CASE WHEN op = -1 THEN 1 ELSE 0 END) AS edge_dels
+  FROM ed GROUP BY url
+)
+SELECT st.url, st.status,
+       CAST(coalesce(agg.edge_adds, 0) AS BIGINT) AS edge_adds,
+       CAST(coalesce(agg.edge_dels, 0) AS BIGINT) AS edge_dels
+FROM st LEFT JOIN agg ON st.url = agg.url
+"""
+
+
+QUERIES["crawl_delta"] = q_crawl_delta
+ORACLES["crawl_delta"] = CRAWL_DELTA_SQL
