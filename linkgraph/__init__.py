@@ -81,7 +81,12 @@ from .algorithms.link_prediction import (
 from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
-from .algorithms.random_walks import node2vec_walks, random_walks, rw_path
+from .algorithms.random_walks import (
+    node2vec_walks,
+    random_walks,
+    rw_path,
+    skipgram_pairs,
+)
 from .algorithms.sampling import uniform_neighbor_sample
 from .algorithms.scc import strongly_connected_components
 from .algorithms.betweenness import betweenness_centrality, edge_betweenness_centrality
@@ -214,6 +219,7 @@ from .text.pipeline import (
     stratified_sample,
     write_shards,
 )
+from .text.lm import ngram_lm_counts
 from .text.retrieval import bm25_topk, build_postings
 from .text.urls import canonicalize_url, url_dedup
 
@@ -335,6 +341,8 @@ __all__ = [
     "random_walks",
     "neighborhood_function",
     "node2vec_walks",
+    "ngram_lm_counts",
+    "skipgram_pairs",
     "uniform_neighbor_sample",
     "rw_path",
     "renumber_edges",

@@ -295,3 +295,57 @@ def node2vec_walks(
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
     return out.select("walk_id", "step", "vertex", "edge_weight")
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk_id",
+    step_col: str = "step",
+    vertex_col: str = "vertex",
+) -> DataFrame:
+    """DF[center, context, cnt] — skip-gram (center, context) pair counts
+    from a walk table: the DeepWalk/node2vec training-data artifact
+    (Perozzi et al. 2014 §4.2; every position is a center, contexts are the
+    positions within ``window`` steps on either side, both directed pairs
+    emitted).
+
+    100-TB shape: ONE walk-keyed shuffle (groups bounded by walk length,
+    never by vertex degree — a hub appearing in 10^6 walks lands in 10^6
+    different groups), a zero-shuffle array expansion for the pair lists,
+    and one map-side-combined (center, context) count agg where hot pairs
+    collapse before the shuffle. No self-join of the corpus-scale walk
+    table.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    seq = (
+        walks.groupBy(F.col(walk_col).alias("walk_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(step_col).alias("s"),
+                                        F.col(vertex_col).alias("v")))
+            ).alias("seq")
+        )
+        .select(F.col("seq.v").alias("vs"))
+    )
+    # forward pairs (i < j <= i+window); both directions materialize by
+    # emitting (a,b) and (b,a) per forward pair
+    fwd = F.flatten(
+        F.transform(
+            F.col("vs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("vs"),
+                    i + F.lit(2),
+                    F.least(F.lit(window), F.size(F.col("vs")) - i - 1),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = seq.select(F.explode(fwd).alias("p")).select("p.a", "p.b")
+    both = pairs.select(F.col("a").alias("center"), F.col("b").alias("context")).unionAll(
+        pairs.select(F.col("b").alias("center"), F.col("a").alias("context"))
+    )
+    return both.groupBy("center", "context").agg(F.count("*").alias("cnt"))

@@ -4824,3 +4824,45 @@ FROM st LEFT JOIN agg ON st.url = agg.url
 
 QUERIES["crawl_delta"] = q_crawl_delta
 ORACLES["crawl_delta"] = CRAWL_DELTA_SQL
+
+
+# ---------------------------------------------------------------------------
+# skip-gram walk pair counts (DeepWalk/node2vec training data)
+# ---------------------------------------------------------------------------
+
+
+WALK_PAIRS_WINDOW = 2
+
+
+def q_walk_pairs(spark, sf_dir):
+    """Deterministic LCG walks (the green random_walks dialect) fed through
+    skipgram_pairs: the DeepWalk training-pair artifact. The oracle replays
+    the full walks and derives pairs with a step-distance self-join —
+    semantically identical to the production array expansion."""
+    from .algorithms.random_walks import random_walks, skipgram_pairs
+
+    g = Graph.from_edgelist(supply_edges(spark, sf_dir), directed=True, renumber=False)
+    walks = random_walks(
+        g, list(range(RW_STARTS)), max_depth=RW_DEPTH, rank_mode="lcg"
+    )
+    return skipgram_pairs(walks, window=WALK_PAIRS_WINDOW).select(
+        F.col("center").cast("long").alias("center"),
+        F.col("context").cast("long").alias("context"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def _walk_pairs_oracle() -> str:
+    base = _random_walks_oracle()
+    return (
+        f"WITH walks AS MATERIALIZED (\n{base}\n)\n"
+        f"SELECT CAST(a.vertex AS BIGINT) AS center, "
+        f"CAST(b.vertex AS BIGINT) AS context, count(*) AS cnt\n"
+        f"FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
+        f"AND a.step <> b.step AND abs(a.step - b.step) <= {WALK_PAIRS_WINDOW}\n"
+        f"GROUP BY 1, 2"
+    )
+
+
+QUERIES["walk_pairs"] = q_walk_pairs
+ORACLES["walk_pairs"] = _walk_pairs_oracle()
