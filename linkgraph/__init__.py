@@ -64,7 +64,11 @@ from .algorithms.anf import (
     neighborhood_function,
 )
 from .algorithms.bowtie import bowtie_structure
-from .algorithms.cocitation import bibliographic_coupling, cocitation
+from .algorithms.cocitation import (
+    bibliographic_coupling,
+    butterfly_count,
+    cocitation,
+)
 from .algorithms.link_prediction import (
     adamic_adar,
     cosine,
@@ -340,6 +344,7 @@ __all__ = [
     "quality_metrics",
     "random_walks",
     "neighborhood_function",
+    "butterfly_count",
     "node2vec_walks",
     "ngram_lm_counts",
     "skipgram_pairs",

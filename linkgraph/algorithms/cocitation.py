@@ -127,3 +127,45 @@ def bibliographic_coupling(
         graph.edges, "dst", "src", "coupling", min_count, max_degree
     )
     return _finish(graph, out)
+
+
+def butterfly_count(
+    graph: Graph,
+    side: str = "src",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """DF[vertex, butterflies] — per-vertex butterfly (2x2-biclique / 4-cycle)
+    participation for the ``side`` partition of a directed bipartite graph
+    (Wang et al., VLDB 2019: the standard bipartite cohesion motif; the
+    dense analogue `structure.bicliques.find_bicliques` enumerates, this
+    counts).
+
+    A butterfly is a pair of ``side`` vertices sharing two distinct
+    neighbors: vertex u participates in sum_v C(shared(u, v), 2)
+    butterflies. Derived from the SAME wedge pair projection as
+    cocitation/coupling — one self-join + map-side-combined pair count —
+    then one vertex-keyed agg of C(cnt, 2); at web scale ``max_degree``
+    drops mega-hub wedge centers exactly as the projections do.
+
+    side="src": pairs of sources sharing out-neighbors (coupling wedges);
+    side="dst": pairs of targets sharing in-neighbors (cocitation wedges).
+    Counts are exact BIGINTs; total butterflies = sum(butterflies) / 2.
+    """
+    if side not in ("src", "dst"):
+        raise ValueError("side must be 'src' or 'dst'")
+    if side == "src":
+        pairs = bibliographic_coupling(graph, max_degree=max_degree)
+        cnt = "coupling"
+    else:
+        pairs = cocitation(graph, max_degree=max_degree)
+        cnt = "cocitation"
+    # BIGINT div, not /: float division would lose exactness past 2^53
+    bfly = F.expr(f"({cnt} * ({cnt} - 1)) div 2").alias("b")
+    both = pairs.select(F.col("first").alias("vertex"), bfly).unionAll(
+        pairs.select(F.col("second").alias("vertex"), bfly)
+    )
+    return (
+        both.groupBy("vertex")
+        .agg(F.sum("b").alias("butterflies"))
+        .filter(F.col("butterflies") > 0)
+    )

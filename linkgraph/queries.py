@@ -4866,3 +4866,42 @@ def _walk_pairs_oracle() -> str:
 
 QUERIES["walk_pairs"] = q_walk_pairs
 ORACLES["walk_pairs"] = _walk_pairs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# butterfly counts (bipartite 4-cycle motif)
+# ---------------------------------------------------------------------------
+
+
+def q_butterflies(spark, sf_dir):
+    """Per-order butterfly participation on the order->part bipartite link
+    graph (algorithms/cocitation.py butterfly_count, side=src): pairs of
+    orders sharing parts -> C(shared, 2) summed per vertex."""
+    from .algorithms.cocitation import butterfly_count
+
+    g = Graph.from_edgelist(link_edges(spark, sf_dir), directed=True, renumber=False)
+    return butterfly_count(g, side="src").select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("butterflies").cast("long").alias("butterflies"),
+    )
+
+
+BUTTERFLIES_SQL = f"""
+WITH edges AS MATERIALIZED ({LINK_EDGES_SQL}),
+p AS (
+  SELECT a.src AS first, b.src AS second, count(*) AS c
+  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT first AS vertex, (c * (c - 1)) // 2 AS b FROM p
+  UNION ALL
+  SELECT second AS vertex, (c * (c - 1)) // 2 AS b FROM p
+)
+SELECT CAST(vertex AS BIGINT) AS vertex, CAST(sum(b) AS BIGINT) AS butterflies
+FROM v GROUP BY vertex HAVING sum(b) > 0
+"""
+
+
+QUERIES["butterflies"] = q_butterflies
+ORACLES["butterflies"] = BUTTERFLIES_SQL

@@ -78,3 +78,54 @@ def test_undirected_rejected(spark, small_graph):
         cocitation(g)
     with pytest.raises(ValueError):
         bibliographic_coupling(g)
+
+
+class TestButterflies:
+    def test_bruteforce_bipartite(self, spark):
+        from itertools import combinations
+
+        from linkgraph.algorithms.cocitation import butterfly_count
+        from linkgraph.structure.graph import Graph
+
+        # K2,3 (u0,u1 x w0..w2) + a pendant edge: butterflies(K2,3 side u)
+        # = C(3,2) = 3 per u-vertex
+        edges = [(0, 10), (0, 11), (0, 12), (1, 10), (1, 11), (1, 12), (2, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        g = Graph.from_edgelist(df, directed=True, renumber=False)
+        got = {r.vertex: r.butterflies for r in butterfly_count(g, side="src").collect()}
+        # brute force: count 4-cycles per src vertex
+        from collections import Counter, defaultdict
+
+        nbrs = defaultdict(set)
+        for s, d in edges:
+            nbrs[s].add(d)
+        exp = Counter()
+        for u, v in combinations(sorted(nbrs), 2):
+            w = len(nbrs[u] & nbrs[v])
+            exp[u] += w * (w - 1) // 2
+            exp[v] += w * (w - 1) // 2
+        assert got == {k: v for k, v in exp.items() if v > 0}
+        assert got == {0: 3, 1: 3}
+
+    def test_side_dst_and_validation(self, spark):
+        import pytest
+
+        from linkgraph.algorithms.cocitation import butterfly_count
+        from linkgraph.structure.graph import Graph
+
+        edges = [(0, 10), (0, 11), (1, 10), (1, 11)]  # one butterfly
+        df = spark.createDataFrame(edges, "src long, dst long")
+        g = Graph.from_edgelist(df, directed=True, renumber=False)
+        assert {r.vertex: r.butterflies for r in butterfly_count(g, side="dst").collect()} == {10: 1, 11: 1}
+        with pytest.raises(ValueError):
+            butterfly_count(g, side="nope")
+
+    def test_renumbered_external_ids(self, spark):
+        from linkgraph.algorithms.cocitation import butterfly_count
+        from linkgraph.structure.graph import Graph
+
+        edges = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        g = Graph.from_edgelist(df, directed=True, renumber=True)
+        got = {r.vertex: r.butterflies for r in butterfly_count(g, side="src").collect()}
+        assert got == {"a": 1, "b": 1}
