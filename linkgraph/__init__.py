@@ -209,6 +209,7 @@ from .algorithms.graph_measures import (
     reciprocity,
 )
 from .algorithms.mis import maximal_independent_set
+from .algorithms.coloring import greedy_color
 from .algorithms.triangles import clustering_coefficient, triangle_counts
 from .text.pipeline import (
     bloom_decontaminate,
@@ -368,6 +369,7 @@ __all__ = [
     "densest_subgraph",
     "local_cluster",
     "maximal_independent_set",
+    "greedy_color",
     "reciprocity",
     "simhash_lcg_signatures",
     "clustering_coefficient",

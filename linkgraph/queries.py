@@ -4905,3 +4905,91 @@ FROM v GROUP BY vertex HAVING sum(b) > 0
 
 QUERIES["butterflies"] = q_butterflies
 ORACLES["butterflies"] = BUTTERFLIES_SQL
+
+
+# ---------------------------------------------------------------------------
+# greedy coloring (Jones-Plassmann, LCG priorities)
+# ---------------------------------------------------------------------------
+
+
+COLOR_EDGES_SQL = (
+    "SELECT DISTINCT o_orderkey % 3000 AS src, (o_custkey * 13 + 7) % 3000 AS dst "
+    "FROM orders WHERE o_orderkey % 3000 <> (o_custkey * 13 + 7) % 3000"
+)
+COLOR_ROUNDS = 40  # sf0.001 needs 7, sf0.01 needs 32; guard row past that
+
+
+def color_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (avg degree ~10 at sf0.01) deterministic graph for coloring —
+    the supply/link graphs are too dense for a JP driver query (JP rounds =
+    longest decreasing-priority path, which approaches V as density grows)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = F.col("o_orderkey") % 3000
+    dst = (F.col("o_custkey") * 13 + 7) % 3000
+    return (
+        o.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (algorithms/coloring.py) on the
+    sparse orders-derived graph; the oracle replays every round (winner
+    selection by LCG key + mex of colored neighbors) verbatim, with a
+    poison row if the unroll depth is exceeded."""
+    from .algorithms.coloring import greedy_color
+
+    g = Graph.from_edgelist(color_edges(spark, sf_dir), directed=True, renumber=False)
+    return greedy_color(g).select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("color").cast("long").alias("color"),
+    )
+
+
+def _coloring_oracle() -> str:
+    from .algorithms.mis import MIS_LCG_A, MIS_LCG_C, MIS_LCG_M
+
+    def key(col):
+        return f"((({MIS_LCG_A} * {col} + {MIS_LCG_C}) % {MIS_LCG_M}) * 4294967296 + {col})"
+
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({COLOR_EDGES_SQL})",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst, src FROM e0)",
+        "univ AS (SELECT unnest(generate_series(0, "
+        "(SELECT max(greatest(src, dst)) FROM edges))) AS v)",
+        "act1 AS MATERIALIZED (SELECT v FROM univ)",
+        "colors0 AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c WHERE 1=0)",
+    ]
+    for k in range(1, COLOR_ROUNDS + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT a.v FROM act{k} a WHERE NOT EXISTS ("
+            f"SELECT 1 FROM edges e JOIN act{k} b ON e.src = b.v "
+            f"WHERE e.dst = a.v AND {key('b.v')} < {key('a.v')}))"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT w.v, coalesce((SELECT min(g.x) "
+            f"FROM generate_series(0, 4096) AS g(x) WHERE g.x NOT IN "
+            f"(SELECT col.c FROM edges e JOIN colors{k-1} col ON e.src = col.v "
+            f"WHERE e.dst = w.v)), 0) AS c FROM w{k} w)"
+        )
+        parts.append(
+            f"colors{k} AS MATERIALIZED (SELECT * FROM colors{k-1} "
+            f"UNION ALL SELECT * FROM c{k})"
+        )
+        parts.append(
+            f"act{k+1} AS MATERIALIZED (SELECT v FROM act{k} "
+            f"WHERE v NOT IN (SELECT v FROM w{k}))"
+        )
+    final = COLOR_ROUNDS
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(v AS BIGINT) AS vertex, CAST(c AS BIGINT) AS color "
+        f"FROM colors{final}\n"
+        f"UNION ALL SELECT -1, -1 FROM (SELECT v FROM act{final + 1} LIMIT 1)"
+    )
+
+
+QUERIES["coloring"] = q_coloring
+ORACLES["coloring"] = _coloring_oracle()
