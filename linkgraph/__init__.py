@@ -222,6 +222,7 @@ from .text.pipeline import (
     shard_assignment,
     shard_plan,
     stratified_sample,
+    token_budget_sample,
     write_shards,
 )
 from .text.lm import ngram_lm_counts
@@ -381,6 +382,7 @@ __all__ = [
     "dsir_gumbel_topk",
     "dsir_weights",
     "stratified_sample",
+    "token_budget_sample",
     "shard_assignment",
     "shard_plan",
     "write_shards",

@@ -4993,3 +4993,54 @@ def _coloring_oracle() -> str:
 
 QUERIES["coloring"] = q_coloring
 ORACLES["coloring"] = _coloring_oracle()
+
+
+# ---------------------------------------------------------------------------
+# token-budget mix sampling (greedy per-stratum fill in LCG order)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGETS = {"en": 5000, "de": 2000}
+MIX_DEFAULT_BUDGET = 1000
+
+
+def q_doc_mix_sample(spark, sf_dir):
+    """Token-budget mix assembly (text/pipeline.py token_budget_sample):
+    fill 5000 en / 2000 de / 1000-per-other-language token budgets greedily
+    in deterministic LCG order. The engine locates each stratum's cutoff
+    with the two-level bucket-histogram scheme (only the straddling bucket
+    pays a window); the oracle replays the NAIVE full-stratum window in SQL
+    — independent derivations that must agree exactly."""
+    from .text.pipeline import token_budget_sample
+
+    d = _documents(spark, sf_dir)
+    out = token_budget_sample(
+        d, MIX_BUDGETS, strata_col="lang", key_col="doc_id",
+        text_col="text", default_budget=MIX_DEFAULT_BUDGET, bucket_bits=4,
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens"),
+    )
+
+
+ORACLES["doc_mix_sample"] = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           (1103515245 * doc_id + 12345) % 2147483648 AS u,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), w AS (
+    SELECT doc_id, lang, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM t
+)
+SELECT doc_id, lang, n_tokens FROM w
+WHERE prefix < CASE lang
+    WHEN 'en' THEN {MIX_BUDGETS["en"]}
+    WHEN 'de' THEN {MIX_BUDGETS["de"]}
+    ELSE {MIX_DEFAULT_BUDGET} END
+"""
+
+QUERIES["doc_mix_sample"] = q_doc_mix_sample

@@ -19,10 +19,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .analysis import word_shingles
+from .analysis import token_count, word_shingles
 
 # Non-backtracking patterns in the shared Java-regex ∩ RE2 dialect (no
 # backreferences, no lookaround) so Spark and DuckDB scan identically:
@@ -140,6 +140,93 @@ def stratified_sample(
         else F.lit(int(default_rate * LCG_M))
     )
     return df.filter(u < thr_col)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    default_budget: int = 0,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Deterministic per-stratum TOKEN-budget sample — the mix-assembly
+    operator ("fill 40 B en tokens, 8 B de tokens, 1 B of everything else").
+
+    Docs are ordered inside each stratum by ``(lcg(key), key)`` (a
+    deterministic shuffle) and taken greedily while the token total of the
+    docs BEFORE them is < the stratum budget; the last kept doc may
+    overshoot by at most its own length. Re-running on a grown corpus keeps
+    a prefix-stable sample: previously kept docs stay kept unless new docs
+    land earlier in LCG order.
+
+    Scale (100 TB): the naive form is one window over each FULL stratum —
+    a single task per language at corpus scale. Instead the cutoff is
+    located with the same two-level histogram scheme as
+    structure/renumber.py: docs hash into ``2**bucket_bits`` LCG-prefix
+    buckets, ONE tiny (stratum, bucket) token-sum aggregate (map-side
+    combined) gives cumulative offsets, buckets wholly below the budget are
+    kept by a map-only broadcast-join filter, buckets wholly past it are
+    dropped the same way, and only the ONE straddling bucket per stratum
+    (~1/2**bucket_bits of the data) pays a window. The driver oracle
+    replays the naive full-window form in SQL.
+    """
+    if default_budget < 0 or any(b < 0 for b in budgets.values()):
+        raise ValueError("token budgets must be >= 0")
+    shift = 31 - bucket_bits
+    if shift < 0:
+        raise ValueError("bucket_bits must be <= 31")
+
+    u = _lcg(F.col(key_col))
+    base = df.withColumn("_u", u).withColumn(
+        "_toks", token_count(F.col(text_col))
+    ).withColumn("_bkt", F.shiftright(F.col("_u"), shift))
+
+    expr = None
+    for stratum, budget in budgets.items():
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(int(budget))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    budget_col = (
+        expr.otherwise(F.lit(int(default_budget)))
+        if expr is not None
+        else F.lit(int(default_budget))
+    )
+    base = base.withColumn("_budget", budget_col)
+
+    # tiny: at most (#strata x 2**bucket_bits) rows, map-side combined
+    hist = base.groupBy(strata_col, "_bkt").agg(F.sum("_toks").alias("_bsum"))
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        strata_col, "_bkt",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_base"),
+        F.col("_bsum"),
+    )
+    tagged = base.join(F.broadcast(offsets), on=[strata_col, "_bkt"])
+
+    keep_all = tagged.filter(F.col("_base") + F.col("_bsum") <= F.col("_budget"))
+    boundary = tagged.filter(
+        (F.col("_base") < F.col("_budget"))
+        & (F.col("_base") + F.col("_bsum") > F.col("_budget"))
+    )
+    # only the straddling bucket flows here: bounded by max bucket size,
+    # not stratum size
+    w_doc = (
+        Window.partitionBy(strata_col)
+        .orderBy("_u", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary_kept = boundary.withColumn(
+        "_prefix", F.col("_base") + F.coalesce(F.sum("_toks").over(w_doc), F.lit(0))
+    ).filter(F.col("_prefix") < F.col("_budget")).drop("_prefix")
+
+    helpers = ["_u", "_toks", "_bkt", "_budget", "_base", "_bsum"]
+    return keep_all.unionByName(boundary_kept).drop(*helpers)
 
 
 def shard_assignment(

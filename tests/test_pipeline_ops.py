@@ -309,3 +309,72 @@ def test_ccnet_perplexity_validates_knobs(spark):
         ccnet_perplexity(docs, docs, num_buckets=1)
     with _pytest.raises(ValueError):
         ccnet_perplexity(docs, docs, alpha=0)
+
+
+# --- token_budget_sample ------------------------------------------------------
+
+
+def _mix_replay(rows, budgets, default):
+    """Naive greedy-fill replay: order by (lcg, key) per stratum, keep while
+    prefix-before < budget."""
+    from linkgraph.text.pipeline import LCG_A, LCG_C, LCG_M
+
+    kept = set()
+    by_stratum = {}
+    for key, text, stratum in rows:
+        by_stratum.setdefault(stratum, []).append(
+            ((LCG_A * key + LCG_C) % LCG_M, key, len(text.strip().split(" ")))
+        )
+    for stratum, docs in by_stratum.items():
+        budget = budgets.get(stratum, default)
+        prefix = 0
+        for u, key, toks in sorted(docs):
+            if prefix < budget:
+                kept.add(key)
+            prefix += toks
+    return kept
+
+
+@pytest.fixture(scope="module")
+def mix_rows():
+    # 40 docs across 3 strata with irregular token counts
+    return [
+        (i, " ".join(f"w{j}" for j in range((i * 7) % 13 + 1)),
+         ["en", "de", "zh"][i % 3])
+        for i in range(40)
+    ]
+
+
+@pytest.mark.parametrize("bucket_bits", [1, 4, 12])
+def test_token_budget_sample_matches_replay(spark, mix_rows, bucket_bits):
+    from linkgraph.text.pipeline import token_budget_sample
+
+    df = spark.createDataFrame(mix_rows, "doc_id LONG, text STRING, lang STRING")
+    budgets = {"en": 30, "de": 11}
+    out = token_budget_sample(
+        df, budgets, default_budget=7, bucket_bits=bucket_bits
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == _mix_replay(mix_rows, budgets, 7)
+    # original columns survive, helpers dropped
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+
+
+def test_token_budget_sample_edges(spark, mix_rows):
+    from linkgraph.text.pipeline import token_budget_sample
+
+    df = spark.createDataFrame(mix_rows, "doc_id LONG, text STRING, lang STRING")
+    assert token_budget_sample(df, {}, default_budget=0).count() == 0
+    assert token_budget_sample(df, {}, default_budget=10**9).count() == len(mix_rows)
+    # overshoot bounded: kept-total minus budget < the last kept doc's tokens
+    out = token_budget_sample(df, {"en": 25}, default_budget=10**9)
+    en = out.filter(F.col("lang") == "en").withColumn(
+        "t", F.size(F.split(F.trim("text"), " "))
+    )
+    total = en.agg(F.sum("t")).collect()[0][0]
+    biggest = en.agg(F.max("t")).collect()[0][0]
+    assert 25 <= total < 25 + biggest
+    with pytest.raises(ValueError):
+        token_budget_sample(df, {"en": -1})
+    with pytest.raises(ValueError):
+        token_budget_sample(df, {}, bucket_bits=40)
