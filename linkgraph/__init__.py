@@ -218,6 +218,7 @@ from .text.pipeline import (
     decontaminate,
     dsir_gumbel_topk,
     dsir_weights,
+    hashed_linear_quality,
     pii_redact,
     shard_assignment,
     shard_plan,
@@ -381,6 +382,7 @@ __all__ = [
     "bloom_decontaminate",
     "dsir_gumbel_topk",
     "dsir_weights",
+    "hashed_linear_quality",
     "stratified_sample",
     "token_budget_sample",
     "shard_assignment",

@@ -5044,3 +5044,70 @@ WHERE prefix < CASE lang
 """
 
 QUERIES["doc_mix_sample"] = q_doc_mix_sample
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-shaped, integer weights)
+# ---------------------------------------------------------------------------
+
+QCLS_BUCKETS = 512
+QCLS_THRESHOLD_E3 = 0
+
+
+def q_doc_quality_classifier(spark, sf_dir):
+    """Hashed-bag-of-ngrams linear scorer (text/pipeline.py
+    hashed_linear_quality): unigram + positional-bigram buckets via the
+    shared char-LCG fold, integer weights from a second LCG, keep by
+    integer cross-multiplied mean threshold. Map-only / zero shuffle; the
+    oracle replays feature construction row-wise in SQL."""
+    from .text.pipeline import hashed_linear_quality
+
+    d = _documents(spark, sf_dir)
+    return hashed_linear_quality(
+        d, num_buckets=QCLS_BUCKETS, threshold_e3=QCLS_THRESHOLD_E3
+    ).select(F.col("id").alias("doc_id"), "n_features", "score", "keep")
+
+
+def _qcls_oracle() -> str:
+    from .text.dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+    from .text.pipeline import LCG_A, LCG_C, LCG_M
+
+    w = f"((({LCG_A}::BIGINT * f + {LCG_C}) % {LCG_M}) % 257 - 128)"
+    return f"""
+    WITH words AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    tokpos AS MATERIALIZED (
+        SELECT doc_id, i, w[i] AS tok FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM words)),
+    tokchars AS (
+        SELECT doc_id, i, tok, unnest(generate_series(1, length(tok))) AS j
+        FROM tokpos),
+    csum AS (
+        SELECT doc_id, i,
+               sum(ascii(substring(tok, j, 1)) *
+                   (({MH_LCG_A}::BIGINT * j + {MH_LCG_B}) % {MH_LCG_P}))
+                 % {MH_LCG_P} AS code
+        FROM tokchars GROUP BY doc_id, i),
+    codes AS MATERIALIZED (
+        SELECT t.doc_id, t.i, coalesce(c.code, 0) % {QCLS_BUCKETS} AS b
+        FROM tokpos t LEFT JOIN csum c ON t.doc_id = c.doc_id AND t.i = c.i),
+    uni AS (
+        SELECT doc_id, count(*) AS n_uni, sum({w.replace('f', 'b')}) AS s_uni
+        FROM codes GROUP BY doc_id),
+    bi AS (
+        SELECT a.doc_id, count(*) AS n_bi,
+               sum({w.replace('f', f'(a.b * {QCLS_BUCKETS} + c.b)')}) AS s_bi
+        FROM codes a JOIN codes c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        GROUP BY a.doc_id)
+    SELECT u.doc_id,
+           CAST(u.n_uni + coalesce(b.n_bi, 0) AS BIGINT) AS n_features,
+           CAST(u.s_uni + coalesce(b.s_bi, 0) AS BIGINT) AS score,
+           CAST(CASE WHEN (u.s_uni + coalesce(b.s_bi, 0)) * 1000 >=
+                {QCLS_THRESHOLD_E3} * (u.n_uni + coalesce(b.n_bi, 0))
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+    """
+
+
+QUERIES["doc_quality_classifier"] = q_doc_quality_classifier
+ORACLES["doc_quality_classifier"] = _qcls_oracle()

@@ -693,6 +693,77 @@ def _transition_counts(df: DataFrame, text_col: str, id_col: str, num_buckets: i
     return pairs.groupBy("id", "bp", "bc").agg(F.count("*").alias("cnt"))
 
 
+def hashed_linear_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    threshold_e3: int = 0,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """fastText-shaped linear quality scorer: DF[id, n_features, score, keep].
+
+    Features are hashed unigram buckets (the shared char-LCG fold from
+    ``_bucket_codes``) plus positional bigram buckets
+    ``bp * num_buckets + bc``; each feature contributes an integer weight
+    ``((a*f + c) mod 2^31) mod 257 - 128`` and the doc score is the plain
+    sum — the exact compute shape of a hashed-bag-of-ngrams linear
+    classifier (fastText / CCNet's quality head), with the LCG fold
+    standing in for trained weights. Swapping in learned weights is a
+    broadcast join against a (bucket, weight) table; nothing else moves.
+
+    ``keep`` = 1 iff ``score * 1000 >= threshold_e3 * n_features`` (mean
+    weight >= threshold_e3/1000 by integer cross-multiplication — exact in
+    any 64-bit engine; |score| <= 128 * n_features so no overflow at any
+    doc length).
+
+    Scale (100 TB): map-only — every feature, weight, and sum is a single
+    array expression inside whole-stage codegen; no explode, no shuffle,
+    no UDF. Bigrams never materialize as rows.
+    """
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    from .dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    w = (
+        f"(((cast({LCG_A} as bigint) * f + {LCG_C}) % {LCG_M}) % 257 - 128)"
+    )
+    cs = (
+        f"transform(split(trim({text_col}), ' '), tok -> "
+        f"aggregate(sequence(1, length(tok)), cast(0 as bigint), (acc, i) -> "
+        f"(acc + ascii(substring(tok, i, 1)) * "
+        f"((cast({MH_LCG_A} as bigint) * i + {MH_LCG_B}) % {MH_LCG_P})) % {MH_LCG_P})"
+        f" % {num_buckets})"
+    )
+    uni_sum = (
+        f"aggregate(transform(cs, f -> {w}), cast(0 as bigint), (s, x) -> s + x)"
+    )
+    bi_sum = (
+        f"aggregate(transform(zip_with(slice(cs, 1, size(cs) - 1), "
+        f"slice(cs, 2, size(cs) - 1), (bp, bc) -> bp * {num_buckets} + bc), "
+        f"f -> {w}), cast(0 as bigint), (s, x) -> s + x)"
+    )
+    nf = (
+        f"size(cs) + greatest(size(cs) - 1, 0)" if use_bigrams else "size(cs)"
+    )
+    score = f"({uni_sum} + {bi_sum})" if use_bigrams else uni_sum
+    return (
+        df.select(F.col(id_col).alias("id"), F.expr(cs).alias("cs"))
+        .select(
+            "id",
+            F.expr(nf).cast("long").alias("n_features"),
+            F.expr(score).cast("long").alias("score"),
+        )
+        .withColumn(
+            "keep",
+            (
+                F.col("score") * F.lit(1000)
+                >= F.lit(int(threshold_e3)) * F.col("n_features")
+            ).cast("long"),
+        )
+    )
+
+
 def ccnet_perplexity(
     corpus: DataFrame,
     reference: DataFrame,

@@ -378,3 +378,56 @@ def test_token_budget_sample_edges(spark, mix_rows):
         token_budget_sample(df, {"en": -1})
     with pytest.raises(ValueError):
         token_budget_sample(df, {}, bucket_bits=40)
+
+
+# --- hashed_linear_quality ----------------------------------------------------
+
+
+def _qcls_replay(rows, num_buckets):
+    from linkgraph.text.dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+    from linkgraph.text.pipeline import LCG_A, LCG_C, LCG_M
+
+    def bucket(tok):
+        acc = 0
+        for i, ch in enumerate(tok, start=1):
+            acc = (acc + ord(ch) * ((MH_LCG_A * i + MH_LCG_B) % MH_LCG_P)) % MH_LCG_P
+        return acc % num_buckets
+
+    def weight(f):
+        return ((LCG_A * f + LCG_C) % LCG_M) % 257 - 128
+
+    out = {}
+    for key, text, _ in rows:
+        toks = text.strip().split(" ")
+        bs = [bucket(t) for t in toks]
+        feats = bs + [bp * num_buckets + bc for bp, bc in zip(bs, bs[1:])]
+        out[key] = (len(feats), sum(weight(f) for f in feats))
+    return out
+
+
+def test_hashed_linear_quality_matches_replay(spark, mix_rows):
+    from linkgraph.text.pipeline import hashed_linear_quality
+
+    df = spark.createDataFrame(mix_rows, "doc_id LONG, text STRING, lang STRING")
+    got = {
+        r["id"]: (r["n_features"], r["score"], r["keep"])
+        for r in hashed_linear_quality(df, num_buckets=64).collect()
+    }
+    want = _qcls_replay(mix_rows, 64)
+    assert set(got) == set(want)
+    for k, (nf, sc) in want.items():
+        assert got[k][0] == nf and got[k][1] == sc
+        assert got[k][2] == (1 if sc * 1000 >= 0 else 0)
+
+
+def test_hashed_linear_quality_unigram_only_and_validation(spark):
+    from linkgraph.text.pipeline import hashed_linear_quality
+
+    df = spark.createDataFrame([(1, "solo", "en")], "doc_id LONG, text STRING, lang STRING")
+    r = hashed_linear_quality(df, use_bigrams=False).collect()[0]
+    assert r["n_features"] == 1
+    # single-token doc: bigram path contributes nothing
+    r2 = hashed_linear_quality(df, use_bigrams=True).collect()[0]
+    assert r2["n_features"] == 1 and r2["score"] == r["score"]
+    with pytest.raises(ValueError):
+        hashed_linear_quality(df, num_buckets=1)
