@@ -152,6 +152,8 @@ from .similarity import (
     ivf_train_centroids,
     kmeans_embeddings,
     lsh_cosine_topk,
+    pq_adc_topk,
+    pq_train_encode,
     prototypicality_scores,
     semantic_dedup,
 )
@@ -324,6 +326,8 @@ __all__ = [
     "ivf_cosine_topk",
     "ivf_train_centroids",
     "kmeans_embeddings",
+    "pq_adc_topk",
+    "pq_train_encode",
     "prototypicality_scores",
     "semantic_dedup",
     "minhash_dedup",

@@ -5111,3 +5111,107 @@ def _qcls_oracle() -> str:
 
 QUERIES["doc_quality_classifier"] = q_doc_quality_classifier
 ORACLES["doc_quality_classifier"] = _qcls_oracle()
+
+
+# ---------------------------------------------------------------------------
+# product quantization + ADC top-k
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+PQ_TOPK = 5
+PQ_QMOD = 32
+
+
+def q_emb_pq_topk(spark, sf_dir):
+    """PQ compression + asymmetric-distance search (similarity.py
+    pq_train_encode / pq_adc_topk): m=4 integer L2 codebooks trained by
+    exact-arithmetic k-means, every vector encoded to 4 codes, queries
+    scored by table lookup (sum of per-subspace dots against the assigned
+    codeword). The oracle replays codebook training, encoding, and the ADC
+    ranking bit-for-bit."""
+    from .similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % PQ_QMOD == 0)
+    return pq_adc_topk(
+        emb, qs, m=PQ_M, k=PQ_K, topk=PQ_TOPK, iterations=PQ_ITERS
+    ).select("query_id", "neighbor_id", "score", "rnk")
+
+
+def _pq_oracle() -> str:
+    m, k, iters, ds = PQ_M, PQ_K, PQ_ITERS, KM_DIM // PQ_M
+    lcg = "(id * 1103515245 + 12345) % 2147483648"
+    parts = [
+        "qv AS MATERIALIZED (SELECT vec_id AS id, t.i AS i, "
+        f"CAST(round(CAST(embedding[t.i] AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS q "
+        f"FROM embeddings, generate_series(1, {KM_DIM}) AS t(i))",
+        f"seeds AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY {lcg}, id) - 1 AS c "
+        f"FROM (SELECT DISTINCT id FROM qv) ORDER BY {lcg}, id LIMIT {PQ_K})",
+    ]
+    for j in range(m):
+        lo, hi = j * ds, (j + 1) * ds
+        dimf = f"q.i > {lo} AND q.i <= {hi}"
+        parts.append(
+            f"pc{j}_0 AS MATERIALIZED (SELECT s.c, q.i - {lo} AS i, q.q "
+            f"FROM seeds s JOIN qv q ON q.id = s.id WHERE {dimf})"
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"pa{j}_{t} AS MATERIALIZED (SELECT id, c FROM ("
+                f"SELECT q.id, ct.c, row_number() OVER (PARTITION BY q.id "
+                f"ORDER BY sum((q.q - ct.q)*(q.q - ct.q)) ASC, ct.c ASC) AS rn "
+                f"FROM qv q JOIN pc{j}_{t-1} ct ON ct.i = q.i - {lo} "
+                f"WHERE {dimf} GROUP BY q.id, ct.c) WHERE rn = 1)"
+            )
+            parts.append(
+                f"ps{j}_{t} AS (SELECT a.c, q.i - {lo} AS i, sum(q.q) AS s, "
+                f"count(*) AS n FROM pa{j}_{t} a JOIN qv q ON q.id = a.id "
+                f"WHERE {dimf} GROUP BY a.c, q.i)"
+            )
+            parts.append(
+                f"pc{j}_{t} AS MATERIALIZED (SELECT p.c, p.i, "
+                f"CASE WHEN su.s IS NULL THEN p.q "
+                f"ELSE CAST(round(su.s / su.n) AS BIGINT) END AS q "
+                f"FROM pc{j}_{t-1} p LEFT JOIN ps{j}_{t} su "
+                f"ON su.c = p.c AND su.i = p.i)"
+            )
+        parts.append(
+            f"pcode{j} AS MATERIALIZED (SELECT id, c FROM ("
+            f"SELECT q.id, ct.c, row_number() OVER (PARTITION BY q.id "
+            f"ORDER BY sum((q.q - ct.q)*(q.q - ct.q)) ASC, ct.c ASC) AS rn "
+            f"FROM qv q JOIN pc{j}_{iters} ct ON ct.i = q.i - {lo} "
+            f"WHERE {dimf} GROUP BY q.id, ct.c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"tq{j} AS MATERIALIZED (SELECT q.id AS qid, ct.c, "
+            f"sum(q.q * ct.q) AS t FROM qv q "
+            f"JOIN pc{j}_{iters} ct ON ct.i = q.i - {lo} "
+            f"WHERE q.id % {PQ_QMOD} = 0 AND {dimf} GROUP BY q.id, ct.c)"
+        )
+    joins = ["pcode0 c0"]
+    for j in range(1, m):
+        joins.append(f"JOIN pcode{j} c{j} ON c{j}.id = c0.id")
+    joins.append("JOIN tq0 t0 ON t0.c = c0.c")
+    for j in range(1, m):
+        joins.append(f"JOIN tq{j} t{j} ON t{j}.c = c{j}.c AND t{j}.qid = t0.qid")
+    ssum = " + ".join(f"t{j}.t" for j in range(m))
+    parts.append(
+        "scores AS MATERIALIZED (SELECT t0.qid, c0.id, "
+        f"({ssum}) AS score FROM {' '.join(joins)})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT qid AS query_id, id AS neighbor_id, score,
+       CAST(rn AS BIGINT) AS rnk
+FROM (SELECT qid, id, score, row_number() OVER (
+          PARTITION BY qid ORDER BY score DESC, id DESC) AS rn
+      FROM scores)
+WHERE rn <= {PQ_TOPK}
+"""
+    )
+
+
+QUERIES["emb_pq_topk"] = q_emb_pq_topk
+ORACLES["emb_pq_topk"] = _pq_oracle()

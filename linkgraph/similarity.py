@@ -893,3 +893,326 @@ def prototypicality_scores(
         )
     )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+# The FAISS-style compression tier past IVF (Jégou et al. 2011): vectors
+# compress to m subspace codes (m·log2(k) bits each), queries scan the code
+# table with per-subspace lookup tables instead of full d-dim arithmetic.
+# Reference N/A (no PQ op in the 2021 fork) — included because a 100 TB
+# embedding store cannot rerank against raw vectors.
+
+
+def _pq_sub_assign(q: DataFrame, j: int, ds: int, cents: list[list[int]]) -> DataFrame:
+    """DF[id, code] — L2 argmin against raw integer codewords over the
+    subspace dims [j*ds, (j+1)*ds), ties to the lower code.
+
+    argmin |x-c|^2 == argmax (2*x.c - |c|^2): pure integers, so the same
+    two bit-identical paths as `_assign_frame` apply — a codegen literal
+    expression when k*ds is small, a broadcast numpy argmax in
+    ``mapInPandas`` above `KMEANS_LITERAL_MAX_ENTRIES`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k = len(cents)
+    if k * ds <= KMEANS_LITERAL_MAX_ENTRIES:
+        lit = F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("long").alias("c"),
+                    F.lit(int(sum(v * v for v in vec))).cast("long").alias("n2"),
+                    F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("qc"),
+                )
+                for c, vec in enumerate(cents)
+            ]
+        )
+        sv = F.slice(F.col("qv"), j * ds + 1, ds)
+        scored = F.transform(
+            lit,
+            lambda s: F.struct(
+                (
+                    F.lit(2).cast("long")
+                    * F.aggregate(
+                        F.zip_with(sv, s.qc, lambda x, y: x * y),
+                        F.lit(0).cast("long"),
+                        lambda a, v: a + v,
+                    )
+                    - s.n2
+                ).alias("sc"),
+                (-s.c).alias("nc"),
+            ),
+        )
+        best = F.array_max(scored)
+        return q.select("id", (-best.nc).alias("code"))
+
+    cmat = np.asarray(cents, dtype=np.int64)  # k x ds
+    n2 = (cmat * cmat).sum(axis=1)  # k
+    bc = q.sparkSession.sparkContext.broadcast((cmat, n2, j * ds, ds))
+    id_type = dict(q.dtypes)["id"]
+
+    def assign_batches(batches):
+        mat, nn2, off, dsz = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)[:, off : off + dsz]
+            sc = 2 * (qmat @ mat.T) - nn2  # argmax first-max = lowest code
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "code": np.argmax(sc, axis=1)}
+            )
+
+    out = q.select("id", "qv").mapInPandas(
+        assign_batches, f"id {id_type}, code bigint"
+    )
+    out._lg_bc = bc
+    return out
+
+
+def pq_train_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+):
+    """Train m per-subspace L2 codebooks and encode every vector.
+
+    Returns ``(codes, codebooks, q)``: codes = DF[id, codes array<bigint>]
+    (codes[j] = codeword index in subspace j), codebooks =
+    list[m][k][d/m] raw integer codewords, q = the persisted quantized
+    table (caller unpersists when done — same contract as `_kmeans_full`).
+
+    Exact arithmetic end to end: vectors quantize to round(scale*x)
+    bigints; assignment is integer L2 argmin (ties to the lower code);
+    the update is the plain coordinate mean rounded half-away — all
+    SQL-replicable, so the driver oracle replays every code bit-for-bit.
+
+    Scale (100 TB): training runs m*iterations assignment passes over the
+    persisted quantized table; each pass's driver state is the k x d/m
+    sufficient statistics (the bounded-collect pattern shared with the IVF
+    and k-means trainers). Encoding is ONE extra pass emitting all m codes
+    — no per-subspace joins. Storage: m codes per vector instead of d
+    floats (32x at d=64/m=4/k=16).
+    """
+    if m < 1 or k < 1 or iterations < 1:
+        raise ValueError("m, k, iterations must all be >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    head = embeddings.select(vec_col).first()
+    if head is None:
+        raise ValueError("cannot train PQ on an empty embeddings table")
+    dim = len(head[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ds = dim // m
+
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+    )
+    q = (
+        embeddings.select(F.col(id_col).alias("id"), qv.alias("qv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed_rows = (
+        q.orderBy(
+            (F.col("id") * KMEANS_LCG_A + KMEANS_LCG_C) % KMEANS_LCG_M, F.col("id")
+        )
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot train PQ on an empty embeddings table")
+
+    codebooks = []
+    for j in range(m):
+        cents = [[int(v) for v in r.qv[j * ds : (j + 1) * ds]] for r in seed_rows]
+        for _ in range(iterations):
+            af = _pq_sub_assign(q, j, ds, cents)
+            sv = F.slice(F.col("qv"), j * ds + 1, ds)
+            stats = (
+                af.join(q, on="id")
+                .groupBy("code")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.sum(sv[i]).alias(f"s{i}") for i in range(ds)],
+                )
+                .collect()
+            )
+            bc = getattr(af, "_lg_bc", None)
+            if bc is not None:
+                bc.unpersist()
+            by_c = {r.code: r for r in stats}
+            new = []
+            for c in range(k):
+                r = by_c.get(c)
+                if r is None or r.n == 0:
+                    new.append(cents[c])  # empty cluster: keep the codeword
+                else:
+                    new.append(
+                        [_round_half_away(r[f"s{i}"] / r.n) for i in range(ds)]
+                    )
+            cents = new
+        codebooks.append(cents)
+
+    # one pass emitting all m codes (no joins): small path = m codegen
+    # argmin expressions; large path = one broadcast numpy sweep
+    if m * k * ds <= KMEANS_LITERAL_MAX_ENTRIES:
+
+        def _code_col(j):
+            lit = F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("c"),
+                        F.lit(int(sum(v * v for v in vec))).cast("long").alias("n2"),
+                        F.array(
+                            *[F.lit(int(v)).cast("long") for v in vec]
+                        ).alias("qc"),
+                    )
+                    for c, vec in enumerate(codebooks[j])
+                ]
+            )
+            sv = F.slice(F.col("qv"), j * ds + 1, ds)
+            scored = F.transform(
+                lit,
+                lambda s: F.struct(
+                    (
+                        F.lit(2).cast("long")
+                        * F.aggregate(
+                            F.zip_with(sv, s.qc, lambda x, y: x * y),
+                            F.lit(0).cast("long"),
+                            lambda a, v: a + v,
+                        )
+                        - s.n2
+                    ).alias("sc"),
+                    (-s.c).alias("nc"),
+                ),
+            )
+            return -F.array_max(scored).nc
+
+        codes = q.select(
+            "id", F.array(*[_code_col(j) for j in range(m)]).alias("codes")
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        books = np.asarray(codebooks, dtype=np.int64)  # m x k x ds
+        n2s = (books * books).sum(axis=2)  # m x k
+        bc = q.sparkSession.sparkContext.broadcast((books, n2s, ds))
+        id_type = dict(q.dtypes)["id"]
+
+        def encode_batches(batches):
+            bks, nn2, dsz = bc.value
+            mm = bks.shape[0]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                cs = np.empty((len(pdf), mm), dtype=np.int64)
+                for jj in range(mm):
+                    sub = qmat[:, jj * dsz : (jj + 1) * dsz]
+                    cs[:, jj] = np.argmax(2 * (sub @ bks[jj].T) - nn2[jj], axis=1)
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(cs)})
+
+        codes = q.select("id", "qv").mapInPandas(
+            encode_batches, f"id {id_type}, codes array<bigint>"
+        )
+    return codes, codebooks, q
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 5,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """ADC top-k: DF[query_id, neighbor_id, score, rnk] where score is the
+    integer ADC inner product sum_j T[q][j][code_j(x)] (the dot of the
+    query against the PQ reconstruction). Ties rank by higher neighbor id
+    (sort_array desc on (score, id) — mirrored in the oracle).
+
+    Scale (100 TB): the base side is ONE scan of the m-byte-per-vector code
+    table — never the raw vectors; each query contributes an m x k integer
+    lookup table (built on the driver from the collected query batch, which
+    must be small — this is the per-query-batch unit real ANN serving
+    shards on). Top-k is the partial-aggregate collect_list/slice idiom —
+    per-partition top-k before the single gather, never a full sort.
+    """
+    codes, books, q = pq_train_encode(
+        embeddings, m, k, iterations, id_col, vec_col, scale
+    )
+    dim = len(books[0][0]) * m
+    ds = dim // m
+    qv = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+    )
+    q_rows = queries.select(F.col(id_col).alias("qid"), qv.alias("qq")).collect()
+    if not q_rows:
+        raise ValueError("pq_adc_topk needs at least one query row")
+
+    # per-query lookup tables: T[j][c] = dot(query_sub_j, codeword_jc)
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.qid)).cast("long").alias("qid"),
+                F.array(
+                    *[
+                        F.lit(
+                            int(
+                                sum(
+                                    int(r.qq[j * ds + i]) * int(books[j][c][i])
+                                    for i in range(ds)
+                                )
+                            )
+                        ).cast("long")
+                        for j in range(m)
+                        for c in range(k)
+                    ]
+                ).alias("t"),
+            )
+            for r in q_rows
+        ]
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("s.t"),
+            (F.lit(j * k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.select("id", F.explode(qlit).alias("s"), "codes")
+        .select(F.col("s.qid").alias("query_id"), F.col("id").alias("neighbor_id"),
+                adc.alias("score"))
+    )
+    topped = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("score", "neighbor_id")), asc=False
+                ),
+                1,
+                topk,
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "query_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            F.col("t.score").alias("score"),
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+        )
+    )
+    q.unpersist()
+    return topped
