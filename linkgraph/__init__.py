@@ -142,7 +142,11 @@ from .multimodal import (
     sample_video_frames,
 )
 from .storage import graph_from_bucketed, load_edges_bucketed, save_edges_bucketed
-from .streaming import stream_hourly_event_rollup, stream_pages_to_edges
+from .streaming import (
+    stream_exact_dedup,
+    stream_hourly_event_rollup,
+    stream_pages_to_edges,
+)
 from .similarity import (
     cosine_topk,
     embedding_near_dup,
@@ -403,6 +407,7 @@ __all__ = [
     "save_edges_bucketed",
     "load_edges_bucketed",
     "graph_from_bucketed",
+    "stream_exact_dedup",
     "stream_hourly_event_rollup",
     "stream_pages_to_edges",
     "sample_video_frames",

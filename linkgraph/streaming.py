@@ -396,3 +396,78 @@ def stream_graph_maintenance(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: ingest-time first-arrival filter by content hash
+# ---------------------------------------------------------------------------
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("keep_id", T.LongType())])
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+) -> DataFrame:
+    """Ingest-time exact dedup of a document stream: the FIRST-ARRIVING doc
+    per md5(text) is emitted (ties inside one micro-batch break to the
+    lower doc_id, so replays are deterministic); later duplicates — in the
+    same batch, later batches, or after a restart — are suppressed by the
+    per-hash state-store entry. The batch twin is
+    ``text.dedup.exact_dedup`` (keep-min over the whole corpus; the
+    streaming op keeps the arrival-order winner instead, the natural
+    ingest rule — parity on single-batch input is pinned in tests).
+
+    Scale: state is one long per distinct hash, partitioned by the hash —
+    the same shuffle key the batch groupBy uses, so hot hashes cannot skew
+    (one state row regardless of duplicate count). For an unbounded crawl
+    the state store is the dedup index by design (that is what ingest
+    dedup means); operators that only need within-horizon dedup should
+    add a watermark + timeout on top.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        (text_hash,) = key
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        if state.exists:
+            return  # duplicate of an already-kept doc: emit nothing
+        state.update((best,))
+        yield pd.DataFrame({"text_hash": [text_hash], "doc_id": [best]})
+
+    docs = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(docs_dir)
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .applyInPandasWithState(
+            fn,
+            DEDUP_OUT_SCHEMA,
+            _DEDUP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

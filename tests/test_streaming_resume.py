@@ -166,3 +166,64 @@ def test_sessionize_batch_vs_streaming_parity(tmp_path, spark):
     assert diff.count() == 0, "batch-closed sessions missing from streaming output"
     extra = got.select(cols).exceptAll(batch.select(cols))
     assert extra.count() == 0, "streaming emitted sessions the batch path lacks"
+
+
+def test_stream_exact_dedup_first_arrival_and_restart(tmp_path, spark):
+    """Batch 1 dedups within itself (lowest doc_id wins inside a batch);
+    later batches AND a restarted query suppress duplicates of anything
+    already kept — the state store is the dedup index."""
+    from linkgraph.streaming import stream_exact_dedup
+
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows, name):
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run(_):
+        # parquet sink: the one sink kind that RECOVERS from a checkpoint,
+        # which is the restart semantics under test
+        q = (
+            stream_exact_dedup(spark, docs_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["text_hash"], r["doc_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    feed(
+        [(5, "aaa", "en"), (2, "aaa", "en"), (9, "bbb", "de")], "b1"
+    )
+    got1 = run("dedup_s1")
+    assert {d for _, d in got1} == {2, 9}  # min id within the batch wins
+
+    # batch twin parity on the same single-batch input (exact_dedup emits
+    # DF[id, keep]; its keep set must equal the streamed winners)
+    from linkgraph.text.dedup import exact_dedup
+
+    batch = exact_dedup(
+        spark.read.parquet(docs_dir), text_col="text", id_col="doc_id"
+    )
+    assert {
+        r["doc_id"] for r in batch.collect() if r["keep"]
+    } == {d for _, d in got1}
+
+    # new file: one dup of "aaa" (suppressed) + one new hash (kept),
+    # through a FRESH query restarted on the same checkpoint
+    feed([(1, "aaa", "en"), (7, "ccc", "fr")], "b2")
+    got2 = run("dedup_s2")
+    # sink accumulates: only the new hash was emitted this cycle; the
+    # cross-restart duplicate (doc 1, lower id than kept doc 2) was not
+    assert {d for _, d in got2 - got1} == {7}
+    assert {d for _, d in got2} == {2, 9, 7}
