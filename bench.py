@@ -100,9 +100,12 @@ def main() -> None:
         )
         # r3 added doc_gopher/host_pagerank/doc_span_dedup/ppr; r4 adds
         # harmonic (HyperBall), doc_dsir (data selection), doc_line_dedup
-        # (C4 line pass), doc_bm25 (sparse retrieval), mis (Luby) — the
-        # round-over-round comparison stays like-for-like on the shared
-        # prefix, new queries are reported per-query.
+        # (C4 line pass), doc_bm25 (sparse retrieval), mis (Luby), and
+        # doc_quality_classifier (hashed linear scorer, pure-codegen map) —
+        # the round-over-round comparison stays like-for-like on the shared
+        # prefix, new queries are reported per-query. PQ / mix-sampling
+        # scale evidence lives in scripts/webtext_scaling.py (their sf0.1
+        # tables are too small to stress them here).
         for name in (
             "doc_shingle_dups",
             "emb_topk",
@@ -115,6 +118,7 @@ def main() -> None:
             "doc_dsir",
             "doc_line_dedup",
             "mis",
+            "doc_quality_classifier",
         ):
             timed(name, lambda n=name: QUERIES[n](spark, SF_DIR).count())
 
