@@ -531,6 +531,13 @@ KMEANS_LCG_M = 2**31
 # al. 2023); a k x d literal array would blow Catalyst's constant pool /
 # codegen long before the data is big.
 KMEANS_LITERAL_MAX_ENTRIES = 4096
+# PQ's literal path fans out m x k zip_with dot products PER ROW — the
+# intermediate arrays make it allocation-bound (measured: 3x slower than
+# the Arrow/numpy sweep at m=4,k=16,ds=16 on 600k vecs, and flat from 8
+# to 32 threads because the allocator saturates before the cores do), so
+# PQ flips to numpy far earlier than plain k-means assignment. Both paths
+# are bit-identical (pinned in tests/test_pq.py).
+PQ_LITERAL_MAX_ENTRIES = 256
 
 
 def _round_half_away(x: float) -> int:
@@ -905,70 +912,37 @@ def prototypicality_scores(
 # embedding store cannot rerank against raw vectors.
 
 
-def _pq_sub_assign(q: DataFrame, j: int, ds: int, cents: list[list[int]]) -> DataFrame:
-    """DF[id, code] — L2 argmin against raw integer codewords over the
-    subspace dims [j*ds, (j+1)*ds), ties to the lower code.
-
-    argmin |x-c|^2 == argmax (2*x.c - |c|^2): pure integers, so the same
-    two bit-identical paths as `_assign_frame` apply — a codegen literal
-    expression when k*ds is small, a broadcast numpy argmax in
-    ``mapInPandas`` above `KMEANS_LITERAL_MAX_ENTRIES`.
-    """
-    import numpy as np
-    import pandas as pd
-
-    k = len(cents)
-    if k * ds <= KMEANS_LITERAL_MAX_ENTRIES:
-        lit = F.array(
-            *[
-                F.struct(
-                    F.lit(c).cast("long").alias("c"),
-                    F.lit(int(sum(v * v for v in vec))).cast("long").alias("n2"),
-                    F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("qc"),
-                )
-                for c, vec in enumerate(cents)
-            ]
-        )
-        sv = F.slice(F.col("qv"), j * ds + 1, ds)
-        scored = F.transform(
-            lit,
-            lambda s: F.struct(
-                (
-                    F.lit(2).cast("long")
-                    * F.aggregate(
-                        F.zip_with(sv, s.qc, lambda x, y: x * y),
-                        F.lit(0).cast("long"),
-                        lambda a, v: a + v,
-                    )
-                    - s.n2
-                ).alias("sc"),
-                (-s.c).alias("nc"),
-            ),
-        )
-        best = F.array_max(scored)
-        return q.select("id", (-best.nc).alias("code"))
-
-    cmat = np.asarray(cents, dtype=np.int64)  # k x ds
-    n2 = (cmat * cmat).sum(axis=1)  # k
-    bc = q.sparkSession.sparkContext.broadcast((cmat, n2, j * ds, ds))
-    id_type = dict(q.dtypes)["id"]
-
-    def assign_batches(batches):
-        mat, nn2, off, dsz = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)[:, off : off + dsz]
-            sc = 2 * (qmat @ mat.T) - nn2  # argmax first-max = lowest code
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "code": np.argmax(sc, axis=1)}
+def _pq_code_col(j: int, ds: int, cents: list[list[int]]):
+    """Codegen Column: L2 argmin code for subspace ``j`` against raw
+    integer codewords, ties to the lower code —
+    argmin |x-c|^2 == argmax (2*x.c - |c|^2), pure integers."""
+    lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("c"),
+                F.lit(int(sum(v * v for v in vec))).cast("long").alias("n2"),
+                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("qc"),
             )
-
-    out = q.select("id", "qv").mapInPandas(
-        assign_batches, f"id {id_type}, code bigint"
+            for c, vec in enumerate(cents)
+        ]
     )
-    out._lg_bc = bc
-    return out
+    sv = F.slice(F.col("qv"), j * ds + 1, ds)
+    scored = F.transform(
+        lit,
+        lambda s: F.struct(
+            (
+                F.lit(2).cast("long")
+                * F.aggregate(
+                    F.zip_with(sv, s.qc, lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                )
+                - s.n2
+            ).alias("sc"),
+            (-s.c).alias("nc"),
+        ),
+    )
+    return -F.array_max(scored).nc
 
 
 def pq_train_encode(
@@ -992,11 +966,16 @@ def pq_train_encode(
     the update is the plain coordinate mean rounded half-away — all
     SQL-replicable, so the driver oracle replays every code bit-for-bit.
 
-    Scale (100 TB): training runs m*iterations assignment passes over the
-    persisted quantized table; each pass's driver state is the k x d/m
-    sufficient statistics (the bounded-collect pattern shared with the IVF
-    and k-means trainers). Encoding is ONE extra pass emitting all m codes
-    — no per-subspace joins. Storage: m codes per vector instead of d
+    Scale (100 TB): ONE pass over the persisted quantized table per
+    iteration — all m subspaces assign in the same job (their k-means runs
+    are independent, so batching them per iteration is bit-identical to
+    m sequential loops), and the m·k·(d/m+1) sufficient statistics come
+    back in one map-side-combined aggregate (small path: explode to
+    (j, code, sv) rows that collapse in partial agg and never hit the
+    wire; large path: a broadcast numpy sweep emits per-batch PARTIAL
+    stats — k·d ints per batch — so the shuffle moves partials, not
+    rows). Encoding is ONE extra pass emitting all m codes — no
+    per-subspace joins anywhere. Storage: m codes per vector instead of d
     floats (32x at d=64/m=4/k=16).
     """
     if m < 1 or k < 1 or iterations < 1:
@@ -1028,74 +1007,103 @@ def pq_train_encode(
     if not seed_rows:
         raise ValueError("cannot train PQ on an empty embeddings table")
 
-    codebooks = []
-    for j in range(m):
-        cents = [[int(v) for v in r.qv[j * ds : (j + 1) * ds]] for r in seed_rows]
-        for _ in range(iterations):
-            af = _pq_sub_assign(q, j, ds, cents)
-            sv = F.slice(F.col("qv"), j * ds + 1, ds)
+    codebooks = [
+        [[int(v) for v in r.qv[j * ds : (j + 1) * ds]] for r in seed_rows]
+        for j in range(m)
+    ]
+    use_literal = m * k * ds <= PQ_LITERAL_MAX_ENTRIES
+    for _ in range(iterations):
+        # ONE fused pass: every subspace's assignment + sufficient stats in
+        # the same job (the m k-means runs are independent, so this is
+        # bit-identical to m sequential per-subspace loops)
+        if use_literal:
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        _pq_code_col(j, ds, codebooks[j]).alias("code"),
+                        F.slice(F.col("qv"), j * ds + 1, ds).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+            ex = q.select(F.explode(entries).alias("e")).select(
+                "e.j", "e.code", "e.sv"
+            )
             stats = (
-                af.join(q, on="id")
-                .groupBy("code")
+                ex.groupBy("j", "code")
                 .agg(
                     F.count("*").alias("n"),
-                    *[F.sum(sv[i]).alias(f"s{i}") for i in range(ds)],
+                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(ds)],
                 )
                 .collect()
             )
-            bc = getattr(af, "_lg_bc", None)
-            if bc is not None:
-                bc.unpersist()
-            by_c = {r.code: r for r in stats}
+            bc = None
+        else:
+            import numpy as np
+            import pandas as pd
+
+            books = np.asarray(codebooks, dtype=np.int64)  # m x k x ds
+            n2s = (books * books).sum(axis=2)  # m x k
+            bc = q.sparkSession.sparkContext.broadcast((books, n2s, ds))
+
+            def stat_batches(batches):
+                bks, nn2, dsz = bc.value
+                mm, kk = bks.shape[0], bks.shape[1]
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                    out = []
+                    for jj in range(mm):
+                        sub = qmat[:, jj * dsz : (jj + 1) * dsz]
+                        cs = np.argmax(2 * (sub @ bks[jj].T) - nn2[jj], axis=1)
+                        acc = np.zeros((kk, dsz), dtype=np.int64)
+                        np.add.at(acc, cs, sub)  # exact int64 partials
+                        cnt = np.bincount(cs, minlength=kk)
+                        for c in range(kk):
+                            if cnt[c]:
+                                out.append(
+                                    (jj, c, int(cnt[c]), *acc[c].tolist())
+                                )
+                    cols = ["j", "code", "n"] + [f"s{i}" for i in range(dsz)]
+                    yield pd.DataFrame(out, columns=cols)
+
+            schema = "j long, code long, n long, " + ", ".join(
+                f"s{i} long" for i in range(ds)
+            )
+            partials = q.select("qv").mapInPandas(stat_batches, schema)
+            stats = (
+                partials.groupBy("j", "code")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(ds)],
+                )
+                .collect()
+            )
+        by_jc = {(r.j, r.code): r for r in stats}
+        for j in range(m):
             new = []
             for c in range(k):
-                r = by_c.get(c)
+                r = by_jc.get((j, c))
                 if r is None or r.n == 0:
-                    new.append(cents[c])  # empty cluster: keep the codeword
+                    new.append(codebooks[j][c])  # empty cluster: keep
                 else:
                     new.append(
                         [_round_half_away(r[f"s{i}"] / r.n) for i in range(ds)]
                     )
-            cents = new
-        codebooks.append(cents)
+            codebooks[j] = new
+        if bc is not None:
+            bc.unpersist()
 
     # one pass emitting all m codes (no joins): small path = m codegen
     # argmin expressions; large path = one broadcast numpy sweep
-    if m * k * ds <= KMEANS_LITERAL_MAX_ENTRIES:
-
-        def _code_col(j):
-            lit = F.array(
-                *[
-                    F.struct(
-                        F.lit(c).cast("long").alias("c"),
-                        F.lit(int(sum(v * v for v in vec))).cast("long").alias("n2"),
-                        F.array(
-                            *[F.lit(int(v)).cast("long") for v in vec]
-                        ).alias("qc"),
-                    )
-                    for c, vec in enumerate(codebooks[j])
-                ]
-            )
-            sv = F.slice(F.col("qv"), j * ds + 1, ds)
-            scored = F.transform(
-                lit,
-                lambda s: F.struct(
-                    (
-                        F.lit(2).cast("long")
-                        * F.aggregate(
-                            F.zip_with(sv, s.qc, lambda x, y: x * y),
-                            F.lit(0).cast("long"),
-                            lambda a, v: a + v,
-                        )
-                        - s.n2
-                    ).alias("sc"),
-                    (-s.c).alias("nc"),
-                ),
-            )
-            return -F.array_max(scored).nc
-
+    if use_literal:
         codes = q.select(
-            "id", F.array(*[_code_col(j) for j in range(m)]).alias("codes")
+            "id",
+            F.array(*[_pq_code_col(j, ds, codebooks[j]) for j in range(m)]).alias(
+                "codes"
+            ),
         )
     else:
         import numpy as np

@@ -105,6 +105,55 @@ def run_child(op: str, cpus: int, n_docs: int, n_vecs: int) -> None:
         wall = time.time() - t0
         print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
                           "units": n_vecs * 4}))
+    elif op == "mix":
+        from pyspark.sql import functions as F
+
+        from linkgraph.text.pipeline import token_budget_sample
+
+        df = (
+            _doc_corpus(spark, n_docs)
+            .withColumn("lang", (F.col("doc_id") % 5).cast("string"))
+            .cache()
+        )
+        df.count()
+        token_budget_sample(
+            df.limit(20000), {"0": 1000}, default_budget=500
+        ).count()
+        toks = n_docs * 40
+        budgets = {"0": toks // 10, "1": toks // 20}  # boundary inside strata
+        t0 = time.time()
+        kept = token_budget_sample(
+            df, budgets, default_budget=toks // 40
+        ).count()
+        wall = time.time() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": toks, "kept": int(kept)}))
+    elif op == "qcls":
+        from linkgraph.text.pipeline import hashed_linear_quality
+
+        df = _doc_corpus(spark, n_docs).cache()
+        df.count()
+        hashed_linear_quality(df.limit(20000)).agg({"score": "sum"}).collect()
+        t0 = time.time()
+        tot = hashed_linear_quality(df).agg({"score": "sum"}).collect()[0][0]
+        wall = time.time() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_docs * 40, "score_sum": int(tot)}))
+    elif op == "pq":
+        from linkgraph.similarity import pq_train_encode
+
+        df = _vec_corpus(spark, n_vecs).cache()
+        df.count()
+        c0, _, q0 = pq_train_encode(df.limit(20000), m=4, k=16, iterations=1)
+        c0.count()
+        q0.unpersist()
+        t0 = time.time()
+        codes, _, q = pq_train_encode(df, m=4, k=16, iterations=2)
+        n = codes.count()
+        wall = time.time() - t0
+        q.unpersist()
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_vecs * (4 * 2 + 1), "encoded": int(n)}))
     else:
         raise SystemExit(f"unknown op {op}")
     spark.stop()

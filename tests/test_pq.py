@@ -90,7 +90,7 @@ def test_pq_large_path_matches_literal(spark, emb, monkeypatch):
     q1.unpersist()
     import linkgraph.similarity as sim
 
-    monkeypatch.setattr(sim, "KMEANS_LITERAL_MAX_ENTRIES", 0)
+    monkeypatch.setattr(sim, "PQ_LITERAL_MAX_ENTRIES", 0)
     codes_big, books_big, q2 = pq_train_encode(df, m=2, k=4, iterations=1)
     big = {r["id"]: list(r["codes"]) for r in codes_big.collect()}
     q2.unpersist()
