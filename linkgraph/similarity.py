@@ -697,7 +697,7 @@ def _assign_frame(q: DataFrame, cents: list[list[int]]) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)  # n x d
+            qmat = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)  # n x d
             dots = qmat @ mat.T  # n x k int64
             cl = np.argmax(dots, axis=1)  # first max = lowest cluster id
             yield pd.DataFrame(
@@ -1053,7 +1053,7 @@ def pq_train_encode(
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
-                    qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                    qmat = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
                     out = []
                     for jj in range(mm):
                         sub = qmat[:, jj * dsz : (jj + 1) * dsz]
@@ -1120,7 +1120,7 @@ def pq_train_encode(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                qmat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                qmat = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
                 cs = np.empty((len(pdf), mm), dtype=np.int64)
                 for jj in range(mm):
                     sub = qmat[:, jj * dsz : (jj + 1) * dsz]
