@@ -431,3 +431,26 @@ def test_hashed_linear_quality_unigram_only_and_validation(spark):
     assert r2["n_features"] == 1 and r2["score"] == r["score"]
     with pytest.raises(ValueError):
         hashed_linear_quality(df, num_buckets=1)
+
+
+def test_token_budget_sample_window_input_is_filtered(spark, mix_rows):
+    """The scale claim: the per-doc running-sum Window must sit above the
+    straddling-bucket FILTER (base < budget < base+bsum), never above the
+    full stratum — and the keep-all branch must carry no Window at all."""
+    from linkgraph.text.pipeline import token_budget_sample
+
+    df = spark.createDataFrame(mix_rows, "doc_id LONG, text STRING, lang STRING")
+    out = token_budget_sample(df, {"en": 30, "de": 11}, default_budget=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly three Windows: the tiny (stratum, bucket) offsets window
+    # appears once under each union arm (broadcast build side, bucket-count
+    # sized) plus ONE boundary-bucket running sum — never a window over the
+    # full per-stratum doc stream
+    assert plan.count("Window") == 3, plan
+    # the boundary filter predicate reaches the physical plan
+    assert "_budget" in plan and "_base" in plan
+    import re
+
+    # the union's keep-all arm is windowless: strip the two window subtrees
+    # and a filtered-window arm must remain
+    assert re.search(r"Filter .*_base.*_budget", plan), plan
