@@ -538,6 +538,9 @@ KMEANS_LITERAL_MAX_ENTRIES = 4096
 # PQ flips to numpy far earlier than plain k-means assignment. Both paths
 # are bit-identical (pinned in tests/test_pq.py).
 PQ_LITERAL_MAX_ENTRIES = 256
+# Hard cap on the ADC query batch collected to the driver (each query
+# becomes an m x k integer lookup table in the scoring expression).
+PQ_MAX_QUERY_BATCH = 4096
 
 
 def _round_half_away(x: float) -> int:
@@ -1164,9 +1167,22 @@ def pq_adc_topk(
     qv = F.expr(
         f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
     )
-    q_rows = queries.select(F.col(id_col).alias("qid"), qv.alias("qq")).collect()
+    # the query batch is DRIVER state (an m x k int table per query): cap it
+    # loudly instead of letting an unbounded query side OOM the driver —
+    # larger query sets shard into batches of this size, the unit real ANN
+    # serving shards on (same bounded-driver-state rule as the trainers)
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), qv.alias("qq"))
+        .limit(PQ_MAX_QUERY_BATCH + 1)
+        .collect()
+    )
     if not q_rows:
         raise ValueError("pq_adc_topk needs at least one query row")
+    if len(q_rows) > PQ_MAX_QUERY_BATCH:
+        raise ValueError(
+            f"pq_adc_topk query batch exceeds {PQ_MAX_QUERY_BATCH} rows; "
+            "shard the query set and call per batch"
+        )
 
     # per-query lookup tables: T[j][c] = dot(query_sub_j, codeword_jc)
     qlit = F.array(

@@ -134,3 +134,15 @@ def test_pq_validation(spark, emb):
         pq_train_encode(df, m=0)
     with pytest.raises(ValueError):
         pq_adc_topk(df, df.filter(F.lit(False)), m=2, k=4)
+
+
+def test_pq_adc_query_batch_cap(spark, emb, monkeypatch):
+    import linkgraph.similarity as sim
+
+    df, _ = emb
+    monkeypatch.setattr(sim, "PQ_MAX_QUERY_BATCH", 3)
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        sim.pq_adc_topk(df, df.filter(F.col("vec_id") < 10), m=2, k=4)
+    # at the cap exactly: fine
+    out = sim.pq_adc_topk(df, df.filter(F.col("vec_id") < 3), m=2, k=4, topk=2)
+    assert out.count() == 6
