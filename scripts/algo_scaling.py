@@ -96,6 +96,10 @@ def _run_algo(algo: str, g) -> None:
         from linkgraph.algorithms.anf import harmonic_centrality
 
         harmonic_centrality(g, max_hops=4, num_registers=8).count()
+    elif algo == "coloring":
+        from linkgraph.algorithms.coloring import greedy_color
+
+        greedy_color(g).count()
     else:
         raise ValueError(algo)
 
