@@ -271,10 +271,12 @@ def _store_versions(io, store_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_edge_store(spark: SparkSession, store_dir: str):
-    """(Graph, meta dict) at the store's latest committed version, or
-    (None, None) for an empty store. Reads ONLY the manifest + one parquet
-    directory — versions are immutable snapshots."""
+def read_edge_store(spark: SparkSession, store_dir: str, version: int | None = None):
+    """(Graph, meta dict) at the store's latest committed version — or at
+    ``version`` exactly (time travel: versions are immutable snapshots, so
+    any committed version remains queryable forever). (None, None) for an
+    empty store; ValueError names the committed versions when ``version``
+    is not one of them. Reads ONLY the manifest + one parquet directory."""
     import json as _json
 
     from .checkpoint import _io
@@ -284,7 +286,14 @@ def read_edge_store(spark: SparkSession, store_dir: str):
     versions = _store_versions(io, store_dir)
     if not versions:
         return None, None
-    v = versions[-1]
+    if version is None:
+        v = versions[-1]
+    elif version in versions:
+        v = version
+    else:
+        raise ValueError(
+            f"version {version} not committed in {store_dir}; have {versions}"
+        )
     vdir = f"{store_dir}/{_V_RE_TMPL % v}"
     meta = _json.loads(io.read_text(f"{vdir}/meta.json"))
     edges = spark.read.parquet(f"{vdir}/data")

@@ -99,6 +99,16 @@ def test_stream_maintenance_resume(spark, dirs):
     assert m2["edges_after"] == 3 and m2["edges_before"] == 2
     assert m2["prev_version"] == m1["version"]
 
+    # time travel: the superseded version is still queryable by number,
+    # bit-identical to what it returned when it was latest
+    g_old, m_old = read_edge_store(spark, store_dir, version=m1["version"])
+    assert m_old == m1
+    assert g_old.edges.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not committed"):
+        read_edge_store(spark, store_dir, version=m2["version"] + 999)
+
     # the final store equals one batch apply of the full delta history
     base = Graph(
         edges=spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE"),
