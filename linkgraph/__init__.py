@@ -163,11 +163,13 @@ from .similarity import (
 )
 from .text.analysis import (
     bpe_ish_token_count,
-    repetition_metrics,
-    tfidf_top_terms,
     fingerprint,
+    fm_distinct_estimate,
+    fm_distinct_sketches,
     language_id,
     quality_metrics,
+    repetition_metrics,
+    tfidf_top_terms,
     token_count,
     word_shingles,
 )
@@ -437,6 +439,8 @@ __all__ = [
     "upper_triangle",
     "weakly_connected_components",
     "word_shingles",
+    "fm_distinct_sketches",
+    "fm_distinct_estimate",
     "comms",
     "raft",
     "raft_include_test",

@@ -68,22 +68,37 @@ def _tz_pos(h):
     return F.bit_count((h.bitwiseAND(-h)) - F.lit(1)).cast("int")
 
 
+def lcg_fm_mask(item, j, seed: int):
+    """FM register mask Column for (integer item, register j) in the
+    exact-integer dialect: multiply-seed + xorshift mix + single geometric
+    bit. Item may be any BIGINT < ~2^31 (product stays under 2^63).
+    Shared by the reachability sketches here and the corpus
+    distinct-count sketches in text/analysis.py — one dialect, one
+    oracle replay."""
+    h = (F.lit(LCG_A) * (item + j * F.lit(LCG_J) + F.lit(seed)) + F.lit(LCG_C)) % F.lit(
+        LCG_M
+    )
+    # two-and-a-half xorshift rounds (kept under 2^31 by masking after
+    # each left shift)
+    h = h.bitwiseXOR(F.shiftleft(h, 13).bitwiseAND(F.lit(LCG_M - 1)))
+    h = h.bitwiseXOR(F.shiftright(h, 17))
+    h = h.bitwiseXOR(F.shiftleft(h, 5).bitwiseAND(F.lit(LCG_M - 1)))
+    pos = F.when(h == 0, F.lit(LCG_TZ_CAP)).otherwise(
+        F.least(_tz_pos(h), F.lit(LCG_TZ_CAP))
+    )
+    # F.shiftleft only takes an int literal for numBits; call the SQL
+    # function directly to shift by the pos COLUMN
+    return F.call_function("shiftleft", F.lit(1).cast("long"), pos).cast("long")
+
+
 def _init_masks(vertices: DataFrame, num_registers: int, seed: int,
                 hash_mode: str) -> DataFrame:
     """DF[vertex, j, mask]: one geometric FM bit per (vertex, register)."""
     regs = F.explode(F.sequence(F.lit(0), F.lit(num_registers - 1))).alias("j")
     base = vertices.select("vertex", regs)
     if hash_mode == "lcg":
-        h = (
-            F.lit(LCG_A) * (F.col("vertex") + F.col("j") * F.lit(LCG_J) + F.lit(seed))
-            + F.lit(LCG_C)
-        ) % F.lit(LCG_M)
-        # two xorshift rounds (kept under 2^31 by masking after each shift)
-        h = h.bitwiseXOR(F.shiftleft(h, 13).bitwiseAND(F.lit(LCG_M - 1)))
-        h = h.bitwiseXOR(F.shiftright(h, 17))
-        h = h.bitwiseXOR(F.shiftleft(h, 5).bitwiseAND(F.lit(LCG_M - 1)))
-        pos = F.when(h == 0, F.lit(LCG_TZ_CAP)).otherwise(
-            F.least(_tz_pos(h), F.lit(LCG_TZ_CAP))
+        return base.select(
+            "vertex", "j", lcg_fm_mask(F.col("vertex"), F.col("j"), seed).alias("mask")
         )
     else:
         h = F.xxhash64("vertex", "j", F.lit(seed))

@@ -5294,3 +5294,74 @@ GROUP BY p.qid
 
 QUERIES["emb_pq_recall"] = q_emb_pq_recall
 ORACLES["emb_pq_recall"] = _pq_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# FM distinct-count sketches over shingles (vocabulary cardinality per lang)
+# ---------------------------------------------------------------------------
+
+FMD_REGS = 8
+FMD_SEED = 7
+FMD_K = 3  # 3-word shingles
+
+
+def q_lang_shingle_fm(spark, sf_dir):
+    """Per-language distinct-shingle cardinality sketches
+    (text/analysis.py fm_distinct_sketches): the countDistinct-free corpus
+    stat. Emits the raw FM registers — exact integers — like the `anf`
+    row; the float 2^R/phi estimate stays a pytest-pinned convenience."""
+    from .text.analysis import fm_distinct_sketches, word_shingles
+
+    d = _documents(spark, sf_dir)
+    sh = word_shingles(d, "text", "doc_id", FMD_K).join(
+        d.select("doc_id", "lang"), on="doc_id"
+    )
+    return fm_distinct_sketches(
+        sh, "lang", "shingle", num_registers=FMD_REGS, seed=FMD_SEED
+    ).select("lang", F.col("j").cast("long").alias("j"), "mask")
+
+
+def _fm_oracle() -> str:
+    from .algorithms.anf import LCG_A, LCG_C, LCG_J, LCG_M, LCG_TZ_CAP
+    from .text.dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    mask31 = LCG_M - 1
+    return f"""
+    WITH words AS MATERIALIZED (
+        SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, lang, w,
+            unnest(generate_series(1, greatest(len(w) - {FMD_K - 1}, 1)))
+            AS i FROM words),
+    sh AS MATERIALIZED (
+        -- DISTINCT: h0 below folds chars GROUPED BY (lang, shingle);
+        -- duplicate rows would multiply-count the char products. The
+        -- engine computes h0 row-wise, where duplicates are harmless
+        -- (identical masks, idempotent under BIT_OR).
+        SELECT DISTINCT lang, array_to_string(w[i:i+{FMD_K - 1}], ' ') AS shingle
+        FROM idx),
+    shc AS (SELECT lang, shingle, unnest(generate_series(1, length(shingle))) AS i
+            FROM sh),
+    h0 AS MATERIALIZED (
+        SELECT lang, shingle,
+               sum(ascii(substring(shingle, i, 1)) *
+                   (({MH_LCG_A}::BIGINT * i + {MH_LCG_B}) % {MH_LCG_P}))
+                 % {MH_LCG_P} AS h0
+        FROM shc GROUP BY lang, shingle),
+    reg AS (SELECT lang, h0, unnest(generate_series(0, {FMD_REGS - 1})) AS j
+            FROM h0),
+    m0 AS (SELECT lang, j, (({LCG_A} * (h0 + j * {LCG_J} + {FMD_SEED})
+            + {LCG_C}) % {LCG_M}) AS h FROM reg),
+    m1 AS (SELECT lang, j, xor(h, (h << 13) & {mask31}) AS h FROM m0),
+    m2 AS (SELECT lang, j, xor(h, h >> 17) AS h FROM m1),
+    m3 AS (SELECT lang, j, xor(h, (h << 5) & {mask31}) AS h FROM m2),
+    masks AS (SELECT lang, j, (CAST(1 AS BIGINT) <<
+        (CASE WHEN h = 0 THEN {LCG_TZ_CAP}
+         ELSE least(bit_count((h & -h) - 1), {LCG_TZ_CAP}) END)) AS mask
+        FROM m3)
+    SELECT lang, CAST(j AS BIGINT) AS j, bit_or(mask) AS mask
+    FROM masks GROUP BY lang, j
+    """
+
+
+QUERIES["lang_shingle_fm"] = q_lang_shingle_fm
+ORACLES["lang_shingle_fm"] = _fm_oracle()

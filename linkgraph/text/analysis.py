@@ -224,3 +224,73 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "score_e6", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# FM distinct-count sketches (corpus cardinality without countDistinct)
+# ---------------------------------------------------------------------------
+
+
+def fm_distinct_sketches(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    num_registers: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """DF[group, j, mask] — Flajolet-Martin registers estimating the
+    DISTINCT item count per group (vocabulary size per language, distinct
+    shingles per source, ...) in ONE map-side-combined BIT_OR pass.
+
+    `count(distinct)` shuffles every distinct item; at corpus scale the
+    item set IS the data. The sketch shuffles `#groups x num_registers`
+    longs instead — duplicates collapse in partial aggregation, so a
+    billion repeats of "the" cost one register OR per map partition.
+
+    Items hash through the shared char-LCG fold (dedup.py dialect) and the
+    exact-integer FM mix from algorithms/anf.py (`lcg_fm_mask`) — the same
+    two primitives the driver oracles already replay, so every register
+    mask is bit-checkable in SQL. Derive the scalar estimate with
+    `fm_distinct_estimate` (float, Flajolet-Martin 2^R/phi — kept OUT of
+    the exact driver contract like anf's curve).
+    """
+    from ..algorithms.anf import lcg_fm_mask
+    from .dedup import MH_LCG_A, MH_LCG_B, MH_LCG_P
+
+    if num_registers < 1:
+        raise ValueError("num_registers must be >= 1")
+    h0 = F.expr(
+        f"aggregate(sequence(1, length({item_col})), cast(0 as bigint), "
+        f"(acc, i) -> (acc + ascii(substring({item_col}, i, 1)) * "
+        f"((cast({MH_LCG_A} as bigint) * i + {MH_LCG_B}) % {MH_LCG_P})) % {MH_LCG_P})"
+    )
+    regs = F.explode(F.sequence(F.lit(0), F.lit(num_registers - 1))).alias("j")
+    base = df.select(F.col(group_col).alias("grp"), h0.alias("h0")).select(
+        "grp", "h0", regs
+    )
+    return (
+        base.select(
+            "grp", "j", lcg_fm_mask(F.col("h0"), F.col("j"), seed).alias("mask")
+        )
+        .groupBy("grp", "j")
+        .agg(F.bit_or("mask").alias("mask"))
+        .select(F.col("grp").alias(group_col), "j", "mask")
+    )
+
+
+def fm_distinct_estimate(
+    sketches: DataFrame, group_col: str = "grp", phi: float = 0.77351
+) -> DataFrame:
+    """DF[group, distinct_est] from `fm_distinct_sketches` output:
+    2^(mean lowest-zero position) / phi (Flajolet-Martin 1985)."""
+    lz = F.bit_count(
+        F.col("mask").bitwiseAND(F.bitwise_not(F.col("mask") + F.lit(1)))
+    ).cast("double")
+    cols = [c for c in sketches.columns if c not in ("j", "mask")]
+    return (
+        sketches.select(*cols, lz.alias("lz"))
+        .groupBy(*cols)
+        .agg(
+            (F.pow(F.lit(2.0), F.avg("lz")) / F.lit(phi)).alias("distinct_est")
+        )
+    )

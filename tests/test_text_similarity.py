@@ -371,3 +371,54 @@ def test_simhash_lcg_signatures_properties(spark):
         for r in simhash_near_pairs(simhash_lcg_signatures(docs)).collect()
     }
     assert pairs[(0, 1)] == 0
+
+
+def test_fm_distinct_estimate_tracks_exact(spark):
+    """FM sketch estimate within the expected error band of the exact
+    distinct count, and registers identical under recomputation."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.text.analysis import (
+        fm_distinct_estimate,
+        fm_distinct_sketches,
+        word_shingles,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(d, "text", "doc_id", 3).join(
+        d.select("doc_id", "lang"), on="doc_id"
+    )
+    sk = fm_distinct_sketches(sh, "lang", "shingle", num_registers=8, seed=7)
+    est = {
+        r["lang"]: r["distinct_est"]
+        for r in fm_distinct_estimate(sk, "lang").collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in sh.groupBy("lang")
+        .agg(F.countDistinct("shingle").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        # r=8 FM: std error ~0.3 in log2 space -> generous 2.5x band
+        assert n / 2.5 < est[lang] < n * 2.5, (lang, n, est[lang])
+    # determinism: same registers on recomputation
+    a = {(r["lang"], r["j"]): r["mask"] for r in sk.collect()}
+    b = {
+        (r["lang"], r["j"]): r["mask"]
+        for r in fm_distinct_sketches(
+            sh, "lang", "shingle", num_registers=8, seed=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_fm_distinct_validation(spark):
+    import pytest as _pytest
+
+    from linkgraph.text.analysis import fm_distinct_sketches
+
+    d = spark.createDataFrame([(1, "a", "en")], "doc_id LONG, text STRING, lang STRING")
+    with _pytest.raises(ValueError):
+        fm_distinct_sketches(d, "lang", "text", num_registers=0)
