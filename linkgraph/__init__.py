@@ -218,7 +218,11 @@ from .algorithms.graph_measures import (
 )
 from .algorithms.mis import maximal_independent_set
 from .algorithms.coloring import greedy_color
-from .algorithms.triangles import clustering_coefficient, triangle_counts
+from .algorithms.triangles import (
+    clustering_coefficient,
+    four_clique_count,
+    triangle_counts,
+)
 from .text.pipeline import (
     bloom_decontaminate,
     c4_line_filter,
@@ -376,6 +380,7 @@ __all__ = [
     "span_dedup",
     "line_dedup",
     "triangle_counts",
+    "four_clique_count",
     "degree_assortativity",
     "degree_histogram",
     "densest_subgraph",

@@ -158,3 +158,63 @@ def clustering_coefficient(
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")
     return out
+
+
+def _oriented_edges(graph: Graph, nparts: int) -> DataFrame:
+    """Degree-ordered orientation (lower (degree, id) -> higher): bounds
+    every oriented out-degree by O(sqrt(E)) — the skew bound all motif
+    joins here rely on. Caller unpersists."""
+    deg = graph.degree()
+    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    d_src = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds"))
+    d_dst = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd"))
+    return (
+        e.join(d_src, on="src")
+        .join(d_dst, on="dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .repartition(nparts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def four_clique_count(graph: Graph, num_partitions: int | None = None) -> int:
+    """Exact K4 (4-clique) count — the next motif after triangles.
+
+    Each K4 is counted exactly once: in the acyclic degree orientation its
+    four vertices form one oriented triangle (a,b,c) over its three
+    LOWEST-ordered members plus an apex d that all three point to, so
+
+        K4 = |triangles(a,b,c) ⋈ O(a,d) ⋈semi O(b,d) ⋈semi O(c,d)|
+
+    — three more hash joins on the oriented edge set. The same
+    O(sqrt(E)) out-degree bound that makes the triangle self-join
+    skew-resistant bounds the triangle->apex fan-out here; no windows, no
+    UDFs, exact integers. Reference N/A (the 2021 fork counts only
+    triangles); beyond-reference motif completion alongside
+    `butterflies`.
+    """
+    if graph.directed:
+        raise ValueError("input graph must be undirected")
+    spark = graph.edges.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    oriented = _oriented_edges(graph, nparts)
+
+    a = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    b = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    c = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = a.join(b, on="v").join(c, on=["u", "w"])  # (u, v, w), u<v<w ordered
+    ou = oriented.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+    ov = oriented.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    ow = oriented.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    n = (
+        tri.join(ou, on="u")
+        .join(ov, on=["v", "x"], how="leftsemi")
+        .join(ow, on=["w", "x"], how="leftsemi")
+        .count()
+    )
+    oriented.unpersist()
+    return int(n)

@@ -5365,3 +5365,62 @@ def _fm_oracle() -> str:
 
 QUERIES["lang_shingle_fm"] = q_lang_shingle_fm
 ORACLES["lang_shingle_fm"] = _fm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# K4 (4-clique) motif counts
+# ---------------------------------------------------------------------------
+
+
+def q_four_cliques(spark, sf_dir):
+    """Exact K4 count (algorithms/triangles.py four_clique_count) on the
+    supply graph UNION a planted K20 at ids 10000..10019 (C(20,4)=4845
+    guaranteed cliques plus whatever the organic graph holds). Emits the
+    triangle count alongside for motif-family context; the oracle
+    re-derives both with independent 3-way/6-way adjacency joins."""
+    from .algorithms.triangles import four_clique_count, triangle_count
+
+    ids = spark.range(20).select(F.col("id").cast("long").alias("i"))
+    clique = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            (F.lit(10000) + F.col("a.i")).alias("src"),
+            (F.lit(10000) + F.col("b.i")).alias("dst"),
+        )
+    )
+    raw = supply_edges(spark, sf_dir).unionByName(clique)
+    g = Graph.from_edgelist(raw, directed=False, renumber=False)
+    n_tri = triangle_count(g)
+    n_k4 = four_clique_count(g)
+    return spark.createDataFrame(
+        [(int(n_tri), int(n_k4))], "n_triangles LONG, n_k4 LONG"
+    )
+
+
+FOUR_CLIQUE_SQL = f"""
+    WITH raw AS (SELECT src, dst FROM ({{supply}})
+                 UNION ALL
+                 SELECT 10000 + a.i AS src, 10000 + b.i AS dst
+                 FROM generate_series(0, 19) AS a(i), generate_series(0, 19) AS b(i)
+                 WHERE a.i < b.i),
+    s AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src <> dst),
+    tri AS (SELECT count(*) AS n FROM s ab
+            JOIN s ac ON ac.u = ab.u AND ac.v > ab.v
+            JOIN s bc ON bc.u = ab.v AND bc.v = ac.v),
+    k4 AS (SELECT count(*) AS n FROM s ab
+           JOIN s ac ON ac.u = ab.u AND ac.v > ab.v
+           JOIN s ad ON ad.u = ab.u AND ad.v > ac.v
+           JOIN s bc ON bc.u = ab.v AND bc.v = ac.v
+           JOIN s bd ON bd.u = ab.v AND bd.v = ad.v
+           JOIN s cd ON cd.u = ac.v AND cd.v = ad.v)
+    SELECT CAST(tri.n AS BIGINT) AS n_triangles, CAST(k4.n AS BIGINT) AS n_k4
+    FROM tri, k4
+"""
+
+
+QUERIES["four_cliques"] = q_four_cliques
+ORACLES["four_cliques"] = FOUR_CLIQUE_SQL.format(supply=SUPPLY_EDGES_SQL)
