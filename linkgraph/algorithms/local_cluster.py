@@ -38,6 +38,13 @@ from .ppr import batched_personalized_pagerank
 
 PPR_SCALE = 10**7  # matches the ppr driver query's proven parity scale
 
+# Default sweep-support cap: the PPR support of a 10-iteration alpha=0.85
+# walk on a web graph can quietly grow to graph scale, and the sweep window
+# is unpartitioned by construction (it ranks ONE seed's support). 1e6 rows
+# is far beyond any local community and still a single-task-safe sort.
+# Pass max_support=None to uncap explicitly.
+DEFAULT_MAX_SUPPORT = 1_000_000
+
 
 def local_cluster(
     graph: Graph,
@@ -45,7 +52,7 @@ def local_cluster(
     alpha: float = 0.85,
     iterations: int = 10,
     num_partitions: int | None = None,
-    max_support: int | None = None,
+    max_support: int | None = DEFAULT_MAX_SUPPORT,
 ) -> DataFrame:
     """DF[vertex, rank, cut, den, phi_e9] — the minimum-conductance sweep
     prefix around ``seed``. ``cut``/``den`` are the exact integer
@@ -58,7 +65,9 @@ def local_cluster(
     of the graph. Truncation is EXACT for the prefixes it keeps: cut and
     volume of a rank-k prefix never depend on vertices ranked beyond k,
     so the result equals the untruncated sweep whenever the untruncated
-    argmin lands within the first M ranks (local communities do).
+    argmin lands within the first M ranks (local communities do). The cap
+    defaults to ``DEFAULT_MAX_SUPPORT`` (1e6) and warns loudly when it
+    binds; pass ``max_support=None`` to uncap explicitly.
     """
     if graph.directed:
         raise ValueError("local_cluster expects an undirected graph")
@@ -107,6 +116,16 @@ def local_cluster(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if max_support is not None and sweep.count() >= max_support:
+        import warnings
+
+        warnings.warn(
+            f"local_cluster: PPR support reached the max_support cap "
+            f"({max_support}); the sweep is truncated — the result is exact "
+            f"only if the conductance argmin lands within the kept prefix. "
+            f"Raise max_support (or pass None) to widen the sweep.",
+            stacklevel=2,
+        )
 
     # cut deltas: each symmetric edge row enters the cut at the smaller
     # endpoint rank and leaves it when the larger endpoint joins the

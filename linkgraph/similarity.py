@@ -1087,7 +1087,10 @@ def pq_train_encode(
         by_jc = {(r.j, r.code): r for r in stats}
         for j in range(m):
             new = []
-            for c in range(k):
+            # len(codebooks[j]) not k: with fewer than k training rows the
+            # seed list is short (LIMIT k), same degenerate case
+            # kmeans_embeddings handles with range(len(cents))
+            for c in range(len(codebooks[j])):
                 r = by_jc.get((j, c))
                 if r is None or r.n == 0:
                     new.append(codebooks[j][c])  # empty cluster: keep
@@ -1146,11 +1149,19 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = KMEANS_SCALE,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ADC top-k: DF[query_id, neighbor_id, score, rnk] where score is the
     integer ADC inner product sum_j T[q][j][code_j(x)] (the dot of the
     query against the PQ reconstruction). Ties rank by higher neighbor id
     (sort_array desc on (score, id) — mirrored in the oracle).
+
+    ``rerank=R`` adds the standard refinement tier: the ADC pass keeps the
+    top-R candidates per query, then ONE bounded join against the raw
+    quantized vectors re-scores them by exact integer dot and the final
+    top-k ranks by the exact score (same tie rule). R >> k recovers
+    near-exact recall while the full base table is still only ever scanned
+    as m-byte codes.
 
     Scale (100 TB): the base side is ONE scan of the m-byte-per-vector code
     table — never the raw vectors; each query contributes an m x k integer
@@ -1162,6 +1173,11 @@ def pq_adc_topk(
     codes, books, q = pq_train_encode(
         embeddings, m, k, iterations, id_col, vec_col, scale
     )
+    # materialize the code table NOW so the quantize+encode pass really runs
+    # once (the docstring's one-scan claim): the returned DataFrame is lazy,
+    # and unpersisting q before the caller's action would recompute encoding
+    codes = codes.localCheckpoint(eager=True)
+    q.unpersist()
     dim = len(books[0][0]) * m
     ds = dim // m
     qv = F.expr(
@@ -1219,24 +1235,56 @@ def pq_adc_topk(
         .select(F.col("s.qid").alias("query_id"), F.col("id").alias("neighbor_id"),
                 adc.alias("score"))
     )
-    topped = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("score", "neighbor_id")), asc=False
-                ),
-                1,
-                topk,
-            ).alias("top")
+    def _topk_of(df, keep):
+        return (
+            df.groupBy("query_id")
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct("score", "neighbor_id")), asc=False
+                    ),
+                    1,
+                    keep,
+                ).alias("top")
+            )
+            .select("query_id", F.posexplode("top").alias("pos", "t"))
+            .select(
+                "query_id",
+                F.col("t.neighbor_id").alias("neighbor_id"),
+                F.col("t.score").alias("score"),
+                (F.col("pos") + 1).cast("long").alias("rnk"),
+            )
         )
-        .select("query_id", F.posexplode("top").alias("pos", "t"))
+
+    if rerank is None:
+        return _topk_of(scored, topk)
+
+    # ADC -> exact rerank (Jegou et al., "Product Quantization for Nearest
+    # Neighbor Search" §IV-C, the IVFADC+R refinement): keep the ADC top-R
+    # candidates per query, then re-score exactly against the raw quantized
+    # vectors — ONE join bounded to R rows per query (the base table is cut
+    # to the candidate set before any wide op), integer dot products all the
+    # way so the oracle replays every score. Lifts recall@k from the
+    # no-rerank ADC floor to near-exact at R >> k.
+    if rerank < topk:
+        raise ValueError(f"rerank={rerank} must be >= topk={topk}")
+    cand = _topk_of(scored, rerank).drop("score", "rnk")
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(int(r.qid), [int(v) for v in r.qq]) for r in q_rows],
+        "query_id long, qq array<bigint>",
+    )
+    base_q = embeddings.select(F.col(id_col).alias("neighbor_id"), qv.alias("xq"))
+    exact = (
+        cand.join(base_q, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
-            F.col("t.neighbor_id").alias("neighbor_id"),
-            F.col("t.score").alias("score"),
-            (F.col("pos") + 1).cast("long").alias("rnk"),
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qq", "xq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
         )
     )
-    q.unpersist()
-    return topped
+    return _topk_of(exact, topk)

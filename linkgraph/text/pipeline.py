@@ -207,7 +207,18 @@ def token_budget_sample(
         F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_base"),
         F.col("_bsum"),
     )
-    tagged = base.join(F.broadcast(offsets), on=[strata_col, "_bkt"])
+    # eqNullSafe on the stratum key: a NULL stratum is a real stratum (its
+    # own partition with the default budget — matching the naive-window
+    # semantics and the oracle's PARTITION BY); a plain equi-join would
+    # silently drop every NULL-keyed row
+    ob = F.broadcast(offsets).withColumnsRenamed(
+        {strata_col: "_o_stratum", "_bkt": "_o_bkt"}
+    )
+    tagged = base.join(
+        ob,
+        F.col(strata_col).eqNullSafe(F.col("_o_stratum"))
+        & (F.col("_bkt") == F.col("_o_bkt")),
+    ).drop("_o_stratum", "_o_bkt")
 
     keep_all = tagged.filter(F.col("_base") + F.col("_bsum") <= F.col("_budget"))
     boundary = tagged.filter(

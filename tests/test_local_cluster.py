@@ -62,3 +62,26 @@ def test_max_support_truncation_is_exact_prefix(spark):
     trunc = local_cluster(g, seed=0, iterations=8, max_support=6).collect()
     assert sorted((r.vertex, r.rank, r.cut, r.den, r.phi_e9) for r in full) == \
         sorted((r.vertex, r.rank, r.cut, r.den, r.phi_e9) for r in trunc)
+
+
+def test_default_cap_engages_and_warns(spark, monkeypatch):
+    # a walk that reaches the whole graph: with the cap forced below the
+    # support size the truncation must bind and warn loudly, and the result
+    # must still be the exact truncated-sweep prefix
+    import linkgraph.algorithms.local_cluster as lc
+
+    g = _g(spark, _barbell())
+    with pytest.warns(UserWarning, match="max_support cap"):
+        monkeypatch.setattr(lc, "DEFAULT_MAX_SUPPORT", 4)
+        out = lc.local_cluster(g, seed=0, iterations=8, max_support=4).collect()
+    assert len(out) <= 4
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+
+def test_default_cap_default_value_unbinding(spark):
+    # default cap (1e6) never binds on small graphs: identical to uncapped
+    g = _g(spark, _barbell())
+    capped = local_cluster(g, seed=0, iterations=8).collect()  # default cap
+    uncapped = local_cluster(g, seed=0, iterations=8, max_support=None).collect()
+    key = lambda r: (r.vertex, r.rank, r.cut, r.den, r.phi_e9)  # noqa: E731
+    assert sorted(map(key, capped)) == sorted(map(key, uncapped))

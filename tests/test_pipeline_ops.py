@@ -454,3 +454,24 @@ def test_token_budget_sample_window_input_is_filtered(spark, mix_rows):
     # the union's keep-all arm is windowless: strip the two window subtrees
     # and a filtered-window arm must remain
     assert re.search(r"Filter .*_base.*_budget", plan), plan
+
+
+def test_token_budget_sample_null_stratum(spark):
+    from linkgraph.text.pipeline import token_budget_sample
+
+    # NULL stratum is a real stratum with the default budget (naive-window /
+    # PARTITION BY semantics) — a plain equi-join would drop these rows
+    rows = [
+        (1, "a b c", "en"), (2, "a b", None), (3, "a", None),
+        (4, "a b c d", None), (5, "a b", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = token_budget_sample(df, {"en": 100}, default_budget=3)
+    got = {r["doc_id"] for r in out.collect()}
+    null_rows = [(k, t, s) for k, t, s in rows if s is None]
+    want_null = _mix_replay(null_rows, {}, 3)
+    assert got == {1, 5} | want_null
+    assert want_null  # the NULL stratum kept at least its first LCG doc
+    # with default_budget=0 the NULL stratum drops entirely
+    out0 = token_budget_sample(df, {"en": 100}, default_budget=0)
+    assert {r["doc_id"] for r in out0.collect()} == {1, 5}

@@ -146,3 +146,44 @@ def test_pq_adc_query_batch_cap(spark, emb, monkeypatch):
     # at the cap exactly: fine
     out = sim.pq_adc_topk(df, df.filter(F.col("vec_id") < 3), m=2, k=4, topk=2)
     assert out.count() == 6
+
+
+def test_pq_train_fewer_rows_than_k(spark):
+    # k larger than the table: the seed list is short (LIMIT k) and the
+    # update loop must iterate the actual codebook length, not k
+    rows = [(i, [float(i), float(-i), 1.0, 2.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    codes, books, q = pq_train_encode(df, m=2, k=16, iterations=2)
+    got = codes.collect()
+    q.unpersist()
+    assert len(got) == 3
+    assert all(len(b) == 3 for b in books)  # one codeword per distinct seed
+    assert all(0 <= c < 3 for r in got for c in r["codes"])
+
+
+def test_pq_adc_rerank_recovers_exact_topk(spark, emb):
+    df, rows = emb
+    m, k, topk = 2, 4, 3
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+    out = pq_adc_topk(df, queries, m=m, k=k, topk=topk, iterations=2, rerank=N)
+    got = [
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["score"])
+        for r in out.orderBy("query_id", "rnk").collect()
+    ]
+    # rerank=N (every vector a candidate) == exact integer-dot brute force
+    q, _ = _replay_train_encode(rows, m, k, 2)
+    want = []
+    for qid in sorted(i for i, _ in rows if i % 20 == 0):
+        scores = [
+            (sum(q[qid][t] * q[i][t] for t in range(DIM)), i) for i in q
+        ]
+        scores.sort(key=lambda t: (-t[0], -t[1]))
+        for rnk, (s, i) in enumerate(scores[:topk], start=1):
+            want.append((qid, rnk, i, s))
+    assert got == want
+
+
+def test_pq_adc_rerank_validation(spark, emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="rerank"):
+        pq_adc_topk(df, df.limit(1), m=2, k=4, topk=5, rerank=2)
