@@ -102,3 +102,18 @@ def test_entry_smoke(spark):
     assert len(rows) == 20
     assert df.columns == ["vertex", "pr_e7"]
     assert all(r.pr_e7 > 0 for r in rows)
+
+
+def test_driver_window_carries_unattested_queries():
+    """The driver's correctness artifact snapshots the first 50 registered
+    queries: the window must pin the structure + [core] rows and carry the
+    round-3/4/5 additions that have never had a driver-green row."""
+    from linkgraph.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+    names = list(QUERIES)
+    assert names[:50] == DRIVER_WINDOW
+    assert list(ORACLES)[:50] == [n for n in DRIVER_WINDOW if n in ORACLES]
+    for pinned in ("pagerank", "wcc", "lpa", "triangles", "graph_edges_sym"):
+        assert pinned in DRIVER_WINDOW
+    for r5 in ("stream_dedup", "store_time_travel", "emb_pq_recall"):
+        assert r5 in DRIVER_WINDOW
