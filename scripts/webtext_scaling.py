@@ -76,6 +76,23 @@ def _vec_corpus(spark, n_vecs: int, dim: int = 64):
     )
 
 
+def _line_corpus(spark, n_docs: int, n_lines: int = 20, vocab: int = 50_000):
+    """DF[doc_id, text] — docs of ``n_lines`` newline-separated lines drawn
+    from a ``vocab``-line universe, so every line repeats ~n_docs*n_lines/
+    vocab times corpus-wide and the duplicate path does real work (group
+    sizes are duplicate counts — hundreds, never hub-sized)."""
+    from pyspark.sql import functions as F
+
+    line = (
+        f"transform(sequence(1, {n_lines}), i -> concat('line with token ', "
+        f"cast(pmod(hash(id, i), {vocab}) as string)))"
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.expr(line), "\n").alias("text"),
+    )
+
+
 def run_child(op: str, cpus: int, n_docs: int, n_vecs: int) -> None:
     spark = _spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -139,6 +156,51 @@ def run_child(op: str, cpus: int, n_docs: int, n_vecs: int) -> None:
         wall = time.time() - t0
         print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
                           "units": n_docs * 40, "score_sum": int(tot)}))
+    elif op == "bm25":
+        from pyspark.sql import functions as F
+
+        from linkgraph.text.retrieval import bm25_topk
+
+        df = _doc_corpus(spark, n_docs).cache()
+        df.count()
+        qtok = (
+            "concat_ws(' ', transform(sequence(1, 5), j -> "
+            "concat('t', cast(pmod(hash(id * 31 + 7, j), 5000) as string))))"
+        )
+        qs = spark.range(256).select(
+            F.col("id").alias("query_id"), F.expr(qtok).alias("text")
+        )
+        bm25_topk(df.limit(20000), qs.limit(8), k=10, exact_int=False).count()
+        t0 = time.time()
+        out = bm25_topk(df, qs, k=10, exact_int=False)
+        # cross-level identity: hash the integer ranking (score is float —
+        # rank/doc assignment is what must agree), plus the row count
+        chk = out.agg(
+            F.expr("bit_xor(xxhash64(query_id, rank, doc_id))").alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        wall = time.time() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_docs * 40,
+                          "check": f"{int(chk['h'])}/{int(chk['n'])}"}))
+    elif op == "line_dedup":
+        from pyspark.sql import functions as F
+
+        from linkgraph.text.dedup import line_dedup
+
+        df = _line_corpus(spark, n_docs).cache()
+        df.count()
+        line_dedup(df.limit(20000)).count()
+        t0 = time.time()
+        out = line_dedup(df)
+        chk = out.agg(
+            F.expr("bit_xor(xxhash64(doc_id, text_dedup))").alias("h"),
+            F.sum("n_removed").alias("r"),
+        ).collect()[0]
+        wall = time.time() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_docs * 20,
+                          "check": f"{int(chk['h'])}/{int(chk['r'])}"}))
     elif op == "pq":
         from linkgraph.similarity import pq_train_encode
 
@@ -193,6 +255,15 @@ def main() -> None:
                 rec["rep"] = rep
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
+    # output identity across parallelism levels: every op that emits a
+    # "check" value must produce the SAME value at local[N] and local[4N]
+    chks: dict = {}
+    for r in results:
+        if "check" in r:
+            chks.setdefault((r["op"], r["rep"]), set()).add(r["check"])
+    for key, vals in chks.items():
+        assert len(vals) == 1, f"cross-level output mismatch for {key}: {vals}"
+
     # scaling efficiency per op: (t_N / t_4N) / (4N/N)
     by = {}
     for r in results:
