@@ -5594,6 +5594,55 @@ ORACLES["store_time_travel"] = STORE_TIME_TRAVEL_SQL
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk training-window manifest)
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 64
+
+
+def q_doc_pack(spark, sf_dir):
+    """text/pipeline.py pack_sequences: the GPT-style concat-then-chunk
+    assembly manifest — docs in deterministic LCG order, token streams
+    concatenated and cut into 64-token training windows; each manifest row
+    says which token span of which doc fills which chunk positions. The
+    two-level bucket-histogram prefix sum (no global window) must agree
+    with the oracle's naive full-corpus running total exactly."""
+    from .text.pipeline import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), window=PACK_WINDOW)
+
+
+DOC_PACK_SQL = f"""
+    WITH t AS (SELECT doc_id,
+                      len(string_split(trim(text), ' ')) AS toks,
+                      (doc_id * 1103515245 + 12345) % 2147483648 AS u
+               FROM documents),
+    p AS (SELECT doc_id, toks,
+                 coalesce(sum(toks) OVER (ORDER BY u, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s
+          FROM t),
+    x AS (SELECT doc_id, s, toks,
+                 unnest(generate_series(CAST(s // {PACK_WINDOW} AS BIGINT),
+                     CAST((s + toks - 1) // {PACK_WINDOW} AS BIGINT)))
+                   AS chunk_id
+          FROM p)
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(chunk_id * {PACK_WINDOW} - s, 0) AS BIGINT)
+             AS doc_off,
+           CAST(greatest(s - chunk_id * {PACK_WINDOW}, 0) AS BIGINT)
+             AS chunk_off,
+           CAST(least((chunk_id + 1) * {PACK_WINDOW}, s + toks)
+                - greatest(chunk_id * {PACK_WINDOW}, s) AS BIGINT) AS n_toks
+    FROM x
+"""
+
+
+QUERIES["doc_pack"] = q_doc_pack
+ORACLES["doc_pack"] = DOC_PACK_SQL
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver evidence (VERDICT r4 item 1)
 # ---------------------------------------------------------------------------
 # The driver's correctness artifact snapshots the FIRST 50 entries of

@@ -240,6 +240,83 @@ def token_budget_sample(
     return keep_all.unionByName(boundary_kept).drop(*helpers)
 
 
+def pack_sequences(
+    df: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Concat-then-chunk training-window packing manifest (the GPT-style
+    sequence assembly: shuffle docs deterministically, concatenate their
+    token streams, cut into fixed ``window``-token chunks).
+
+    Returns DF[chunk_id, doc_id, doc_off, chunk_off, n_toks]: chunk
+    ``chunk_id`` is assembled by copying ``n_toks`` tokens starting at
+    ``doc_off`` of ``doc_id`` into chunk position ``chunk_off``. Every doc
+    token lands in exactly one chunk (the trailing chunk may be ragged —
+    callers drop ``chunk_id = max`` for strict fixed-length training).
+    Docs are ordered by ``(lcg(id), id)`` — the same deterministic shuffle
+    as :func:`token_budget_sample`, so re-running is stable and the oracle
+    replays the order exactly.
+
+    Scale (100 TB): the naive form needs a GLOBAL running token total — one
+    unpartitioned window over the corpus. Instead the prefix sum uses the
+    renumber.py two-level histogram: docs hash into ``2**bucket_bits`` LCG-
+    prefix buckets, ONE tiny bucket token-sum aggregate (map-side combined,
+    <= 2**bucket_bits rows) gives cross-bucket offsets, and the per-doc
+    prefix is a window PARTITIONED by bucket. The chunk fan-out is a
+    map-side ``sequence`` explode bounded by toks/window + 1 rows per doc.
+    No corpus-scale sort, no single-task window anywhere.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    shift = 31 - bucket_bits
+    if shift < 0:
+        raise ValueError("bucket_bits must be <= 31")
+
+    u = _lcg(F.col(id_col))
+    base = (
+        df.select(F.col(id_col), u.alias("_u"),
+                  token_count(F.col(text_col)).alias("_toks"))
+        .withColumn("_bkt", F.shiftright(F.col("_u"), shift))
+    )
+    hist = base.groupBy("_bkt").agg(F.sum("_toks").alias("_bsum"))
+    # tiny frame (<= 2**bucket_bits rows): the unpartitioned window is fine
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "_bkt", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_base")
+    )
+    w_doc = (
+        Window.partitionBy("_bkt")
+        .orderBy("_u", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = (
+        base.join(F.broadcast(offsets), on="_bkt")
+        .withColumn(
+            "_start",
+            F.col("_base") + F.coalesce(F.sum("_toks").over(w_doc), F.lit(0)),
+        )
+    )
+    wl = F.lit(int(window))
+    c0 = F.floor(F.col("_start") / wl)
+    c1 = F.floor((F.col("_start") + F.col("_toks") - 1) / wl)
+    lo = F.col("chunk_id") * wl  # chunk token span [lo, lo + window)
+    return pos.select(
+        id_col, "_start", "_toks", F.explode(F.sequence(c0, c1)).alias("chunk_id")
+    ).select(
+        F.col("chunk_id").cast("long"),
+        F.col(id_col),
+        F.greatest(lo - F.col("_start"), F.lit(0)).cast("long").alias("doc_off"),
+        F.greatest(F.col("_start") - lo, F.lit(0)).cast("long").alias("chunk_off"),
+        (
+            F.least(lo + wl, F.col("_start") + F.col("_toks"))
+            - F.greatest(lo, F.col("_start"))
+        ).cast("long").alias("n_toks"),
+    )
+
+
 def shard_assignment(
     df: DataFrame, n_shards: int, key_col: str = "doc_id",
     shard_col: str = "shard",

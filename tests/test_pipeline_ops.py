@@ -475,3 +475,62 @@ def test_token_budget_sample_null_stratum(spark):
     # with default_budget=0 the NULL stratum drops entirely
     out0 = token_budget_sample(df, {"en": 100}, default_budget=0)
     assert {r["doc_id"] for r in out0.collect()} == {1, 5}
+
+
+# --- pack_sequences -----------------------------------------------------------
+
+
+def _pack_rows(spark, rows, window, **kw):
+    from linkgraph.text.pipeline import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    return pack_sequences(df, window=window, **kw).collect()
+
+
+@pytest.mark.parametrize("bucket_bits", [1, 8])
+def test_pack_sequences_covers_every_token_once(spark, mix_rows, bucket_bits):
+    rows = [(k, t) for k, t, _ in mix_rows]
+    toks = {k: len(t.strip().split(" ")) for k, t in rows}
+    out = _pack_rows(spark, rows, 16, bucket_bits=bucket_bits)
+    # per doc: spans tile [0, toks) exactly, in chunk order
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for d, spans in by_doc.items():
+        spans.sort(key=lambda r: r.chunk_id)
+        assert spans[0].doc_off == 0
+        assert sum(s.n_toks for s in spans) == toks[d]
+        for a, b in zip(spans, spans[1:]):
+            assert b.chunk_id == a.chunk_id + 1  # contiguous chunks
+            assert b.doc_off == a.doc_off + a.n_toks
+    # per chunk: positions tile [0, window) exactly (ragged tail allowed)
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r.chunk_id, []).append(r)
+    total = sum(toks.values())
+    assert set(by_chunk) == set(range((total + 15) // 16))
+    for c, parts in by_chunk.items():
+        parts.sort(key=lambda r: r.chunk_off)
+        assert parts[0].chunk_off == 0
+        fill = sum(p.n_toks for p in parts)
+        assert fill == (16 if c < max(by_chunk) else total - 16 * c)
+        for a, b in zip(parts, parts[1:]):
+            assert b.chunk_off == a.chunk_off + a.n_toks
+
+
+def test_pack_sequences_bucket_bits_invariant(spark, mix_rows):
+    rows = [(k, t) for k, t, _ in mix_rows]
+    a = sorted(map(tuple, _pack_rows(spark, rows, 16, bucket_bits=2)))
+    b = sorted(map(tuple, _pack_rows(spark, rows, 16, bucket_bits=12)))
+    assert a == b
+
+
+def test_pack_sequences_validation(spark):
+    from linkgraph.text.pipeline import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError):
+        pack_sequences(df, window=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, window=8, bucket_bits=40)
