@@ -86,6 +86,7 @@ from .algorithms.cores import core_number, k_core
 from .algorithms.egonet import batched_ego_graphs, ego_graph
 from .algorithms.ktruss import k_truss, ktruss_subgraph
 from .algorithms.random_walks import (
+    negative_samples,
     node2vec_walks,
     random_walks,
     rw_path,
@@ -231,6 +232,7 @@ from .text.pipeline import (
     dsir_gumbel_topk,
     dsir_weights,
     hashed_linear_quality,
+    pack_sequences,
     pii_redact,
     shard_assignment,
     shard_plan,
@@ -365,6 +367,8 @@ __all__ = [
     "node2vec_walks",
     "ngram_lm_counts",
     "skipgram_pairs",
+    "negative_samples",
+    "pack_sequences",
     "uniform_neighbor_sample",
     "rw_path",
     "renumber_edges",

@@ -349,3 +349,74 @@ def skipgram_pairs(
         pairs.select(F.col("b").alias("center"), F.col("a").alias("context"))
     )
     return both.groupBy("center", "context").agg(F.count("*").alias("cnt"))
+
+
+def negative_samples(
+    vocab: DataFrame,
+    n_samples: int,
+    seed: int = 0,
+    chunk: int = 1 << 16,
+    vertex_col: str = "vertex",
+    weight_col: str = "weight",
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """DF[sample_id, vertex] — ``n_samples`` weight-proportional draws from
+    the vocabulary: the word2vec/node2vec NEGATIVE-sampling table (Mikolov
+    et al. 2013 §2.2) that pairs with :func:`skipgram_pairs` to complete
+    the embedding-training data artifact (callers key block j of k_neg
+    consecutive samples to training pair j). Deterministic: draw i lands at
+    integer position ``lcg(i + seed) mod total_weight`` of the concatenated
+    weight stream, and the vertex owning that position wins — the exact
+    inverse-CDF rule, replayable in SQL. (The classic degree^0.75
+    smoothing is a float; apply it upstream by passing a pre-smoothed
+    integer weight column — the sampler itself stays integer-exact.)
+
+    100-TB shape: the cumulative weight stream is materialized as a
+    ``pack_sequences`` span manifest (two-level bucket-histogram prefix
+    sum — no global sort), so locating a sample is ONE equi-join on the
+    weight-stream chunk id: draws hash to chunks, manifest rows cover
+    chunks, containment is a map-side filter. No range join, no broadcast
+    of the vertex-scale vocabulary, fan-out per chunk bounded by
+    chunk/avg_weight + 1 span rows.
+
+    Reference N/A (no sampling-table op in the 2021 fork); composes with
+    ``random_walks`` + ``skipgram_pairs`` (sampling/random_walks.py:19-118
+    is the walk surface the pairs come from).
+    """
+    from ..text.pipeline import LCG_A, LCG_C, LCG_M, pack_sequences
+
+    if n_samples < 1:
+        raise ValueError("n_samples must be >= 1")
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+
+    spans = pack_sequences(
+        vocab, window=chunk, id_col=vertex_col, weight_col=weight_col,
+        bucket_bits=bucket_bits,
+    ).select(
+        "chunk_id",
+        F.col(vertex_col),
+        "chunk_off",
+        "n_toks",
+    )
+    total = vocab.agg(F.sum(F.col(weight_col).cast("long"))).collect()[0][0]
+    if not total or total <= 0:
+        raise ValueError("vocabulary weights must sum to a positive total")
+
+    spark = vocab.sparkSession
+    pos = ((F.col("id") + F.lit(int(seed))) * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(
+        LCG_M
+    ) % F.lit(int(total))
+    draws = spark.range(int(n_samples)).select(
+        F.col("id").alias("sample_id"),
+        (pos / F.lit(int(chunk))).cast("long").alias("chunk_id"),
+        (pos % F.lit(int(chunk))).alias("off"),
+    )
+    return (
+        draws.join(spans, on="chunk_id")
+        .filter(
+            (F.col("off") >= F.col("chunk_off"))
+            & (F.col("off") < F.col("chunk_off") + F.col("n_toks"))
+        )
+        .select("sample_id", F.col(vertex_col).alias("vertex"))
+    )

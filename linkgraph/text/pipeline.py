@@ -246,6 +246,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_bits: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk training-window packing manifest (the GPT-style
     sequence assembly: shuffle docs deterministically, concatenate their
@@ -268,6 +269,12 @@ def pack_sequences(
     prefix is a window PARTITIONED by bucket. The chunk fan-out is a
     map-side ``sequence`` explode bounded by toks/window + 1 rows per doc.
     No corpus-scale sort, no single-task window anywhere.
+
+    ``weight_col`` generalizes the span length from whitespace token counts
+    to any positive integer column (e.g. vertex degrees) — the manifest
+    then partitions the concatenated WEIGHT stream, which is what
+    inverse-CDF samplers (``algorithms.random_walks.negative_samples``)
+    point-look-up into.
     """
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -275,10 +282,14 @@ def pack_sequences(
     if shift < 0:
         raise ValueError("bucket_bits must be <= 31")
 
+    size = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else token_count(F.col(text_col))
+    )
     u = _lcg(F.col(id_col))
     base = (
-        df.select(F.col(id_col), u.alias("_u"),
-                  token_count(F.col(text_col)).alias("_toks"))
+        df.select(F.col(id_col), u.alias("_u"), size.alias("_toks"))
         .withColumn("_bkt", F.shiftright(F.col("_u"), shift))
     )
     hist = base.groupBy("_bkt").agg(F.sum("_toks").alias("_bsum"))
