@@ -240,6 +240,7 @@ from .text.pipeline import (
     token_budget_sample,
     write_shards,
 )
+from .text.bpe import bpe_encode, bpe_train, word_histogram
 from .text.lm import ngram_lm_counts
 from .text.retrieval import bm25_topk, build_postings
 from .text.urls import canonicalize_url, url_dedup
@@ -368,6 +369,9 @@ __all__ = [
     "ngram_lm_counts",
     "skipgram_pairs",
     "negative_samples",
+    "bpe_train",
+    "bpe_encode",
+    "word_histogram",
     "pack_sequences",
     "uniform_neighbor_sample",
     "rw_path",

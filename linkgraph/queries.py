@@ -5698,6 +5698,72 @@ ORACLES["walk_negatives"] = WALK_NEGATIVES_SQL
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary training (tokenizer artifact)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_PASSES = 3
+
+
+def q_bpe_merges(spark, sf_dir):
+    """text/bpe.py bpe_train: 8 BPE merges learned from the documents
+    corpus (Sennrich word-histogram formulation — ONE corpus pass, then
+    vocabulary-scale iterations). The oracle unrolls all 8 iterations in
+    SQL: word histogram, adjacent-pair counts, (count desc, lhs, rhs)
+    argmax, and the shared triple-replace merge application — every merge,
+    its operands, and its count must match bit-for-bit."""
+    from .text.bpe import bpe_train
+
+    merges, vocab = bpe_train(
+        _documents(spark, sf_dir), num_merges=BPE_MERGES,
+        apply_passes=BPE_PASSES,
+    )
+    return merges
+
+
+def _bpe_oracle() -> str:
+    rep = "s"
+    for _ in range(BPE_PASSES):
+        rep = (
+            f"replace({rep}, ' ' || b.l || ' ' || b.r || ' ', "
+            f"' ' || b.l || b.r || ' ')"
+        )
+    parts = [
+        """w0 AS MATERIALIZED (
+        SELECT word, cnt,
+               ' ' || array_to_string(regexp_extract_all(word, '(.)', 1), ' ')
+                   || ' </w> ' AS s
+        FROM (SELECT word, count(*) AS cnt FROM (
+                  SELECT unnest(string_split(trim(text), ' ')) AS word
+                  FROM documents)
+              WHERE word <> '' GROUP BY word))"""
+    ]
+    for t in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""a{t} AS (SELECT cnt, string_split(trim(s), ' ') AS arr
+            FROM w{t - 1}),
+    e{t} AS (SELECT cnt, arr,
+                    unnest(generate_series(1, len(arr) - 1)) AS i FROM a{t}),
+    p{t} AS (SELECT arr[i] AS l, arr[i + 1] AS r, sum(cnt) AS c
+             FROM e{t} GROUP BY arr[i], arr[i + 1]),
+    b{t} AS MATERIALIZED (SELECT l, r, c FROM p{t}
+                          ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    w{t} AS MATERIALIZED (SELECT word, cnt, {rep} AS s
+                          FROM w{t - 1}, b{t} b)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, l AS lhs, r AS rhs, "
+        f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n" + finals
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = _bpe_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver evidence (VERDICT r4 item 1)
 # ---------------------------------------------------------------------------
 # The driver's correctness artifact snapshots the FIRST 50 entries of

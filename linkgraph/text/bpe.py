@@ -1,0 +1,173 @@
+"""Corpus-scale BPE vocabulary training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units" §3.2).
+
+The one genuinely trainable tokenizer artifact a pre-training pipeline
+needs: learn ``num_merges`` byte-pair merges from the corpus, most frequent
+adjacent symbol pair first. The classic implementation trick (Sennrich's
+reference code) is that BPE statistics live on the WORD-FREQUENCY table,
+not the corpus: ONE corpus-scale whitespace-token histogram up front, then
+every merge iteration touches only vocabulary-scale state.
+
+Engine dialect (identical in Spark and DuckDB — proven by the driver
+oracle):
+
+- words split to character symbols + a ``</w>`` end-of-word marker, held as
+  a single-space-separated string with sentinel spaces (`` h e l l o </w> ``);
+- pair counts are ADJACENT pair counts (overlapping runs count each
+  adjacency — the standard formulation);
+- the winning pair is (max count, then lexicographically smallest left,
+  then right) under binary string collation;
+- a merge is applied with plain ``replace(s, ' l r ', ' lr ')`` — both
+  engines scan left-to-right, never rescanning replaced output, so
+  back-to-back occurrences (`` a b a b ``) leave the second unmerged in one
+  pass; the merge is therefore applied ``apply_passes`` times (covering
+  repeat-chains up to 2^apply_passes occurrences inside one word — longer
+  chains keep their tail split, a documented fixed-point cutoff both
+  engines share).
+
+100-TB shape: the corpus is touched ONCE (map-side-combined word
+histogram); each of the k merges is a vocabulary-scale explode + map-side-
+combined pair aggregate, one 1-row driver collect (the argmax), and a
+map-only replace projection. Driver state is one (pair, count) row per
+merge. State lineage is truncated every few merges (``localCheckpoint``)
+so k supersteps never build a k-deep plan.
+
+Reference N/A (the cuGraph fork has no text layer); algorithm per the
+published paper, layout per its reference implementation's word-histogram
+trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+CHECKPOINT_EVERY = 8
+
+
+def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """DF[word, cnt] — the one corpus-scale pass (whitespace tokens, the
+    token_count dialect)."""
+    return (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_state(words: DataFrame) -> DataFrame:
+    """Symbol string `` c h a r s </w> `` per word (sentinel spaces)."""
+    chars = F.expr("regexp_extract_all(word, '(.)', 1)")
+    return words.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.array_join(chars, " "), F.lit(" " + EOW + " ")
+        ).alias("s"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 1,
+    apply_passes: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, vocab)``: merges = DF[rank, lhs, rhs, merged,
+    pair_count] in learned order (rank 1 = most frequent first pair;
+    lhs/rhs, not left/right — those are SQL reserved words and the driver
+    oracle selects the same column names);
+    vocab = DF[word, cnt, s] — the word table in its final segmentation
+    (the encoder table :func:`bpe_encode` joins against). Training stops
+    early when no pair reaches ``min_pair_count``.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    if apply_passes < 1:
+        raise ValueError("apply_passes must be >= 1")
+
+    spark = df.sparkSession
+    state = _initial_state(word_histogram(df, text_col)).localCheckpoint(
+        eager=True
+    )
+
+    arr = F.split(F.trim(F.col("s")), " ")
+    pair_structs = F.expr(
+        "transform(sequence(1, size(_arr) - 1), "
+        "i -> struct(element_at(_arr, i) AS l, element_at(_arr, i + 1) AS r))"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            state.select(F.col("cnt"), arr.alias("_arr"))
+            .filter(F.size("_arr") >= 2)
+            .select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["c"]) < min_pair_count:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, left, right, left + right, c))
+        new_s = F.col("s")
+        pat = F.lit(f" {left} {right} ")
+        rep = F.lit(f" {left}{right} ")
+        for _ in range(apply_passes):
+            new_s = F.replace(new_s, pat, rep)
+        state = state.select("word", "cnt", new_s.alias("s"))
+        if rank % CHECKPOINT_EVERY == 0:
+            state = state.localCheckpoint(eager=True)
+
+    mdf = spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, merged string, pair_count long"
+    )
+    return mdf, state
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DF[id, pos, token] — encode documents with a trained vocabulary:
+    whitespace words join the trained word table (vocabulary-scale build
+    side — broadcast when small) and emit its final symbol segmentation;
+    out-of-vocabulary words fall back to character + ``</w>`` symbols
+    (computed map-side, no second training pass). ``pos`` numbers tokens
+    within the document (1-based, word-major)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    seg = vocab.select("word", F.col("s").alias("_seg"))
+    chars = F.expr("regexp_extract_all(word, '(.)', 1)")
+    fallback = F.concat(
+        F.lit(" "), F.array_join(chars, " "), F.lit(" " + EOW + " ")
+    )
+    toks = F.split(F.trim(F.coalesce(F.col("_seg"), fallback)), " ")
+    return (
+        words.join(seg, on="word", how="left")
+        .select(
+            F.col(id_col),
+            "wpos",
+            F.posexplode(toks).alias("tpos", "token"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("wpos", "tpos")
+            ),
+        )
+        .select(F.col(id_col), F.col("pos").cast("long"), "token")
+    )
