@@ -534,3 +534,40 @@ def test_pack_sequences_validation(spark):
         pack_sequences(df, window=0)
     with pytest.raises(ValueError):
         pack_sequences(df, window=8, bucket_bits=40)
+
+
+def test_pack_sequences_plan_no_corpus_scale_single_partition(spark):
+    """The corpus-scale prefix-sum window must be PARTITIONED by the LCG
+    bucket; the only SinglePartition exchange allowed is the tiny
+    (<= 2**bucket_bits row) bucket-offset window that feeds the broadcast."""
+    from linkgraph.text.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    plan = (
+        pack_sequences(df, window=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(_bkt" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # the single-partition subtree is the broadcast-side offsets frame
+    assert "BroadcastExchange" in plan[: plan.index("Exchange SinglePartition")], plan
+
+
+def test_negative_samples_plan_no_range_join(spark):
+    """Draw location is ONE equi-join on the weight-stream chunk id — the
+    plan must contain no nested-loop / cartesian range join and no
+    broadcast of the (vertex-scale) vocabulary spans is required for
+    correctness; the containment filter runs map-side post-join."""
+    from linkgraph.algorithms.random_walks import negative_samples
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(300)], "vertex LONG, weight LONG"
+    )
+    plan = (
+        negative_samples(df, 1000, seed=3, chunk=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
