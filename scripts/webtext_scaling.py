@@ -201,6 +201,43 @@ def run_child(op: str, cpus: int, n_docs: int, n_vecs: int) -> None:
         print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
                           "units": n_docs * 20,
                           "check": f"{int(chk['h'])}/{int(chk['r'])}"}))
+    elif op == "bpe":
+        from pyspark.sql import functions as F
+
+        from linkgraph.text.bpe import bpe_train
+
+        df = _doc_corpus(spark, n_docs).cache()
+        df.count()
+        bpe_train(df.limit(20000), num_merges=2)
+        t0 = time.time()
+        merges, vocab = bpe_train(df, num_merges=4)
+        rows = sorted(tuple(r) for r in merges.collect())
+        wall = time.time() - t0
+        import hashlib
+
+        digest = hashlib.md5(repr(rows).encode()).hexdigest()
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_docs * 40, "check": digest}))
+    elif op == "pack":
+        from pyspark.sql import functions as F
+
+        from linkgraph.text.pipeline import pack_sequences
+
+        df = _doc_corpus(spark, n_docs).cache()
+        df.count()
+        pack_sequences(df.limit(20000), window=2048).count()
+        t0 = time.time()
+        out = pack_sequences(df, window=2048)
+        chk = out.agg(
+            F.expr(
+                "bit_xor(xxhash64(chunk_id, doc_id, doc_off, chunk_off, n_toks))"
+            ).alias("h"),
+            F.sum("n_toks").alias("t"),
+        ).collect()[0]
+        wall = time.time() - t0
+        print(json.dumps({"op": op, "cpus": cpus, "wall_s": round(wall, 2),
+                          "units": n_docs * 40,
+                          "check": f"{int(chk['h'])}/{int(chk['t'])}"}))
     elif op == "pq":
         from linkgraph.similarity import pq_train_encode
 
