@@ -311,8 +311,10 @@ def pack_sequences(
         )
     )
     wl = F.lit(int(window))
-    c0 = F.floor(F.col("_start") / wl)
-    c1 = F.floor((F.col("_start") + F.col("_toks") - 1) / wl)
+    # BIGINT DIV, not float floor: the float path is exact only below 2^53
+    # total tokens (~9 PB of text) — integer division has no cliff
+    c0 = F.expr(f"_start DIV {int(window)}")
+    c1 = F.expr(f"(_start + _toks - 1) DIV {int(window)}")
     lo = F.col("chunk_id") * wl  # chunk token span [lo, lo + window)
     return pos.select(
         id_col, "_start", "_toks", F.explode(F.sequence(c0, c1)).alias("chunk_id")
