@@ -72,7 +72,7 @@ def label_propagation(
     prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         while it < n_iter:
             it += 1
             l_src = labels.select(F.col("vertex").alias("src"), "labels")
@@ -82,22 +82,35 @@ def label_propagation(
                 .groupBy("dst", "labels")
                 .agg(F.count("*").alias("cnt"))
             )
-            # argmax by count, tie -> min label: max(struct(cnt, -label))
-            mode_l = (
-                counts.groupBy("dst")
-                .agg(F.max(F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))).alias("t"))
-                .select(F.col("dst").alias("vertex"), (-F.col("t.nl")).alias("new_l"))
+            # argmax by count, tie -> min label: max(struct(cnt, -label)).
+            # The V-row carried labeling rides the SAME level-2 aggregation
+            # as a cnt=0 row (any real neighbor label has cnt >= 1 and
+            # beats it; with no neighbor messages the carry row IS the
+            # argmax) — replaces the old mode_l broadcast job + state
+            # join-back with one map-side-combined groupBy(vertex).
+            contrib = counts.select(
+                F.col("dst").alias("vertex"),
+                "cnt",
+                "labels",
+                F.lit(None).cast("long").alias("old"),
             )
-            if bcast:
-                mode_l = F.broadcast(mode_l)
+            carry = labels.select(
+                "vertex",
+                F.lit(0).cast("long").alias("cnt"),
+                "labels",
+                F.col("labels").alias("old"),
+            )
             new = (
-                labels.join(mode_l, on="vertex", how="left")
+                contrib.unionByName(carry)
+                .groupBy("vertex")
+                .agg(
+                    F.max(F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))).alias("t"),
+                    F.max("old").alias("old"),
+                )
                 .select(
                     "vertex",
-                    F.coalesce(F.col("new_l"), F.col("labels")).alias("labels"),
-                    (F.coalesce(F.col("new_l"), F.col("labels")) != F.col("labels")).alias(
-                        "changed"
-                    ),
+                    (-F.col("t.nl")).alias("labels"),
+                    ((-F.col("t.nl")) != F.col("old")).alias("changed"),
                 )
                 .localCheckpoint(eager=False)  # truncate superstep lineage
             )

@@ -118,7 +118,7 @@ def _ppr_state(
     # k×V rows, usually frontier-sized.
     bcast = graph.number_of_vertices() * len(seeds) <= BROADCAST_STATE_MAX_V
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         # every msgs table persisted since the last EAGER checkpoint is part
         # of the pending lazy plan (each is read twice: propagate + restart
         # sum); they are freed together once a truncation materializes the

@@ -119,27 +119,32 @@ def weakly_connected_components(
     prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         while it < n_iter:
             it += 1
             f_src = frontier.select(F.col("vertex").alias("src"), "labels")
             f_src = F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
-            msgs = (
-                edges.join(f_src, on="src")
-                .groupBy("dst")
-                .agg(F.min("labels").alias("m"))
-                .withColumnRenamed("dst", "vertex")
+            # fused union-aggregate superstep: neighbor label messages and
+            # the V-row carried labeling ride ONE map-side-combined
+            # groupBy(vertex) min — no message broadcast job, no join-back
+            # (exact integer min; `old` travels as max over its single
+            # non-null carry value)
+            contrib = edges.join(f_src, on="src").select(
+                F.col("dst").alias("vertex"),
+                F.col("labels").alias("l"),
+                F.lit(None).cast("long").alias("old"),
             )
-            if bcast:
-                msgs = F.broadcast(msgs)
+            carry = labels.select(
+                "vertex", F.col("labels").alias("l"), F.col("labels").alias("old")
+            )
             new = (
-                labels.join(msgs, on="vertex", how="left")
+                contrib.unionByName(carry)
+                .groupBy("vertex")
+                .agg(F.min("l").alias("labels"), F.max("old").alias("old"))
                 .select(
                     "vertex",
-                    F.least(F.col("labels"), F.coalesce(F.col("m"), F.col("labels"))).alias(
-                        "labels"
-                    ),
-                    (F.col("m") < F.col("labels")).alias("changed"),
+                    "labels",
+                    (F.col("labels") < F.col("old")).alias("changed"),
                 )
                 .localCheckpoint(eager=False)  # truncate superstep lineage
             )
