@@ -173,7 +173,7 @@ def neighborhood_function(
         }
 
     curve = [_curve_point(state, 0)]
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for t in range(1, max_hops + 1):
             msgs = (
                 edges_t.join(
@@ -319,7 +319,7 @@ def harmonic_centrality(
     total_prev = score.agg(F.sum("rt").alias("rt")).collect()[0]["rt"]
     import time as _time
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for t in range(1, max_hops + 1):
             _t0 = _time.time()
             msgs = edges_t.join(

@@ -98,7 +98,7 @@ def _auction(
     )
     asg = spark.createDataFrame([], "worker LONG, job LONG")
     big = 2.0 * c_max * (n + 1) + 1.0  # degree-1 workers: unbeatable bid
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for eps in eps_schedule:
             asg = truncate_plan(spark.createDataFrame([], "worker LONG, job LONG"))
             # rounds: each matches ≥1 new worker or raises ≥1 price by ≥ε;

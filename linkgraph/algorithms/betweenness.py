@@ -101,7 +101,7 @@ def _brandes(graph, k, seed, num_partitions, want_edges):
     n_visited = k_eff
     visited = truncate_plan(cur.select("s", "vertex"), eager=False)
     depth = 0
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         while True:
             depth += 1
             pushed = (

@@ -125,7 +125,7 @@ def bowtie_structure(graph: Graph, max_iter: int = 200) -> DataFrame:
         .collect()[0]
     )
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         fwd_core = _reach_from(edges, core, nparts, max_iter)
         bwd_core = _reach_from(redges, core, nparts, max_iter)
         in_set = truncate_plan(bwd_core.join(core, on="vertex", how="left_anti"))

@@ -87,7 +87,7 @@ def greedy_color(
         F.lit(0),
     )
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         it = 0
         while it < max_iter:
             it += 1

@@ -76,7 +76,7 @@ def core_number(
     )
     n_rounds = fixed_iterations if fixed_iterations is not None else max_iter
     c_ck = c  # checkpointed frame backing `c`, freed once superseded
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _ in range(n_rounds):
             t0 = _time.time()
             c_src = c.select(F.col("vertex").alias("src"), F.col("c").alias("c_u"))

@@ -83,7 +83,7 @@ def densest_subgraph(
     best: tuple[int, int] | None = None  # (S, V) of the best round
     best_set: DataFrame | None = None
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         it = 0
         while it < max_iter:
             it += 1

@@ -68,7 +68,7 @@ def ecg(
 
     # votes(u,v) = #members whose level-1 partition co-clusters u and v
     votes = None
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for i in range(ensemble_size):
             init = kv_df.select(
                 "vertex", F.xxhash64("vertex", F.lit(seed + i)).alias("c")

@@ -60,7 +60,7 @@ def batched_ego_graphs(
     # radius-2 ball on a web graph is millions of rows per seed — never
     # unconditionally broadcast BFS state (VERDICT r1 item 5)
     n_front = n_visited = len(seed_rows)
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for depth in range(1, radius + 1):
             f_src = frontier.select("seed", F.col("vertex").alias("src"))
             f_src = (

@@ -100,7 +100,7 @@ def eigenvector_centrality(
     state_ck = state  # superseded superstep checkpoint, freed once replaced
     converged = fixed_iterations is not None
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _ in range(n_iter):
             # normalization of the CURRENT vector folded in as the 1/norm
             # literal — x here is c_raw/norm throughout

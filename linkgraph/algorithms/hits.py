@@ -76,7 +76,7 @@ def hits(
     state = truncate_plan(init, eager=False)
     state_ck = state  # superseded state checkpoint, freed once replaced
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _ in range(n_iter):
             # --- authority half-step: one E-job on the src-partitioned copy
             auth = (

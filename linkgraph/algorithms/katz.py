@@ -74,7 +74,7 @@ def katz_centrality(
     prev_ck = state  # superseded superstep checkpoint, freed once replaced
     converged = fixed_iterations is not None
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _ in range(n_iter):
             c_src = state.select(F.col("vertex").alias("src"), "c")
             c_src = F.broadcast(c_src) if bcast else c_src.repartition(nparts, "src")

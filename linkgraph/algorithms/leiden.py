@@ -70,7 +70,7 @@ def leiden(
     )
     flat_c = flat_r
     level_edges = edges
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _level in range(max_levels):
             kv_df = truncate_plan(
                 level_edges.groupBy(F.col("src").alias("vertex")).agg(

@@ -253,7 +253,7 @@ def louvain(
         graph.vertices().select("vertex", F.col("vertex").alias("c")), eager=False
     )
     level_edges = edges
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _level in range(max_levels):
             # k_v INCLUDES self-loop weight (it belongs to the vertex's
             # degree mass); EAGER: consumed by several branches per pass

@@ -87,7 +87,7 @@ def maximal_independent_set(
     all_verts = verts
     mis_parts: list[DataFrame] = []
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         it = 0
         while it < max_iter:
             it += 1

@@ -89,7 +89,7 @@ def random_walks(
         eager=False,
     )
     paths = cur
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for step in range(1, max_depth + 1):
             f_src = cur.select("walk_id", F.col("vertex").alias("src"))
             f_src = (
@@ -236,7 +236,7 @@ def node2vec_walks(
         eager=False,
     )
     paths = cur.select("walk_id", "step", "vertex", "edge_weight")
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for step in range(1, max_depth + 1):
             f_src = cur.select(
                 "walk_id", F.col("vertex").alias("src"), F.col("prev")
@@ -404,13 +404,26 @@ def negative_samples(
         raise ValueError("vocabulary weights must sum to a positive total")
 
     spark = vocab.sparkSession
+    # position space is bounded by the 31-bit LCG modulus: every stream
+    # position >= 2^31 has zero draw probability, so weight-proportional
+    # sampling requires total <= 2^31 (~2.1e9 total weight); guard loudly
+    # instead of silently truncating the distribution
+    if int(total) > LCG_M:
+        raise ValueError(
+            f"total weight {total} exceeds the sampler's 2^31 position space"
+            " — shard the vocabulary or use per-shard samplers"
+        )
     pos = ((F.col("id") + F.lit(int(seed))) * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(
         LCG_M
     ) % F.lit(int(total))
+    # integer DIV for the chunk decomposition (same convention as
+    # pack_sequences): the float path is exact only below 2^53
     draws = spark.range(int(n_samples)).select(
-        F.col("id").alias("sample_id"),
-        (pos / F.lit(int(chunk))).cast("long").alias("chunk_id"),
-        (pos % F.lit(int(chunk))).alias("off"),
+        F.col("id").alias("sample_id"), pos.alias("_pos")
+    ).select(
+        "sample_id",
+        F.expr(f"_pos DIV {int(chunk)}").alias("chunk_id"),
+        (F.col("_pos") % F.lit(int(chunk))).alias("off"),
     )
     return (
         draws.join(spans, on="chunk_id")

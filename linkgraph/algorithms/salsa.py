@@ -131,7 +131,7 @@ def salsa(
     state_ck = state
     const_cols = ["inv_out", "inv_in"]
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _ in range(n_iter):
             # --- forward job (src-partitioned copy): push h and t together,
             # each pre-scaled by the departing hub's 1/outdeg

@@ -59,7 +59,7 @@ def uniform_neighbor_sample(
         [(v,) for v in sorted(set(internal))], "src LONG"
     )
     out = None
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for hop, k in enumerate(fanouts):
             n_f = frontier.count()
             if n_f == 0:

@@ -97,7 +97,7 @@ def strongly_connected_components(
         # lazy: consumed once, by the final select (or next union's plan)
         return truncate_plan(out, eager=False)
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for _round in range(max_rounds):
             counters["rounds"] = _round + 1
             # --- bulk trim: peel every vertex lacking in- or out-edges ---

@@ -309,7 +309,7 @@ def spectral_balanced_cut_clustering(
     # Op = σI − L = W + (σ − deg) on the diagonal — PSD, extremes flipped
     diag = deg.select("vertex", (F.lit(sigma) - F.col("deg")).alias("dg"))
     m = min(max(4 * num_clusters + 12, 2 * num_eigen_vects + 10), evs_max_iter)
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         alphas, betas, basis = _lanczos(
             spark, edges, verts, diag, None, 1.0, m, evs_tolerance, nparts, seed
         )
@@ -349,7 +349,7 @@ def spectral_modularity_maximization_clustering(
     diag = deg.select("vertex", F.lit(0.0).alias("dg"))
     rank_one = deg.select("vertex", F.col("deg").alias("d"))
     m = min(max(4 * num_clusters + 12, 2 * num_eigen_vects + 10), evs_max_iter)
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         alphas, betas, basis = _lanczos(
             spark, edges, verts, diag, rank_one, m2, m, evs_tolerance, nparts, seed
         )

@@ -74,7 +74,7 @@ def bfs(
     # two-generation free list: level d's count materializes visited_{d-1}
     # (read via v_keys) and nxt_d, which releases visited_{d-2} and nxt_{d-1}
     pend_visited, pend_nxt = None, None
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         while depth_limit is None or depth < depth_limit:
             depth += 1
             f_src = frontier.select(F.col("vertex").alias("src"), "sp_counter")
@@ -152,7 +152,7 @@ def sssp(
     frontier = dist
     prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = 0
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         while it < max_iter:
             it += 1
             f_src = frontier.select(

@@ -26,6 +26,20 @@ from pyspark.storagelevel import StorageLevel
 from ..structure.graph import Graph
 
 
+def _edge_degrees(edges: DataFrame) -> DataFrame:
+    """DF[vertex, degree] for every vertex APPEARING in the edge table —
+    one exploded map-side-combined aggregation instead of Graph.degree()'s
+    two aggregations + three vertex-universe joins. Identical values
+    (in-degree + out-degree over the same rows); the orientation only ever
+    compares degrees of existing edge endpoints, so vertices outside the
+    edge table (degree 0 in Graph.degree()) are irrelevant here."""
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
 def triangle_count(graph: Graph, num_partitions: int | None = None) -> int:
     if graph.directed:
         # triangle_count.py:52-53 — undirected input required
@@ -33,8 +47,13 @@ def triangle_count(graph: Graph, num_partitions: int | None = None) -> int:
     spark = graph.edges.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    deg = graph.degree()  # total degree incl. both directions of each edge
-    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # persist the (possibly expensive) upstream edge pipeline ONCE — the
+    # degree aggregation and the orientation join otherwise each recompute
+    # the full symmetrize/dedup lineage (guide §5: cache only genuinely
+    # reused frames; this one is scanned 2x here + 3x via `oriented`)
+    base = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _edge_degrees(base)  # total degree incl. both directions of each edge
+    e = base.filter(F.col("src") != F.col("dst"))
     d_src = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds"))
     d_dst = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd"))
     oriented = (
@@ -54,6 +73,7 @@ def triangle_count(graph: Graph, num_partitions: int | None = None) -> int:
     wedges = a.join(b, on="v")
     n = wedges.join(c, on=["u", "w"], how="leftsemi").count()
     oriented.unpersist()
+    base.unpersist()
     return int(n)
 
 
@@ -91,8 +111,9 @@ def _triangle_counts_internal(graph: Graph, num_partitions: int | None = None) -
     spark = graph.edges.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    deg = graph.degree()
-    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    base = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _edge_degrees(base)
+    e = base.filter(F.col("src") != F.col("dst"))
     d_src = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds"))
     d_dst = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd"))
     oriented = (
@@ -122,6 +143,7 @@ def _triangle_counts_internal(graph: Graph, num_partitions: int | None = None) -
         eager=True,
     )
     oriented.unpersist()
+    base.unpersist()
     return out
 
 
@@ -164,8 +186,9 @@ def _oriented_edges(graph: Graph, nparts: int) -> DataFrame:
     """Degree-ordered orientation (lower (degree, id) -> higher): bounds
     every oriented out-degree by O(sqrt(E)) — the skew bound all motif
     joins here rely on. Caller unpersists."""
-    deg = graph.degree()
-    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    base = graph.edges.select("src", "dst")
+    deg = _edge_degrees(base)
+    e = base.filter(F.col("src") != F.col("dst"))
     d_src = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds"))
     d_dst = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd"))
     return (

@@ -75,10 +75,17 @@ def _page_text(rng: np.random.Generator) -> str:
 
 
 def _rmat_dst(rng: np.random.Generator, nbits: int, n_pages: int) -> int:
-    """One RMAT-marginal destination draw: bits high→low, P(bit)=0.6."""
+    """One RMAT-marginal destination draw: bits high→low, P(bit)=0.6.
+
+    One vectorized uniform draw instead of nbits Python-level rng.random()
+    calls — ``Generator.random(size=n)`` consumes the identical doubles in
+    the identical order, so generated pages stay byte-for-byte unchanged
+    (guide §4.2: batch work inside the Python boundary; this map was ~60%
+    per-bit RNG call overhead)."""
+    bits = rng.random(nbits) < _RMAT_P1
     v = 0
-    for _ in range(nbits):
-        v = (v << 1) | int(rng.random() < _RMAT_P1)
+    for b in bits.tolist():
+        v = (v << 1) | b
     return v % n_pages
 
 

@@ -148,7 +148,7 @@ def force_atlas2(
     if callback is not None and hasattr(callback, "on_preprocess_end"):
         callback.on_preprocess_end(pos.select("vertex", "x", "y"))
 
-    with no_aqe(spark):
+    with no_aqe(spark, nparts):
         for it in range(max_iter):
             # ---- attraction: ONE E-job --------------------------------------
             p_src = pos.select(

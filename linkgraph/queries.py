@@ -5498,7 +5498,8 @@ def q_stream_dedup(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                raise RuntimeError("streaming cycle timed out after 600s")
         out = spark.read.parquet(out_dir).select("text_hash", "doc_id")
         return out.localCheckpoint(eager=True)
     finally:
@@ -5561,7 +5562,8 @@ def q_store_time_travel(spark, sf_dir):
                 spark, delta_dir, store_dir, ck, directed=True,
                 run_pagerank=False,
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                raise RuntimeError("streaming cycle timed out after 600s")
         g1, meta1 = read_edge_store(spark, store_dir, version=1)
         out = g1.edges.select(
             "src",

@@ -316,6 +316,11 @@ def pack_sequences(
     c0 = F.expr(f"_start DIV {int(window)}")
     c1 = F.expr(f"(_start + _toks - 1) DIV {int(window)}")
     lo = F.col("chunk_id") * wl  # chunk token span [lo, lo + window)
+    # zero-length spans (reachable via a zero-valued weight_col) contribute
+    # nothing to the concatenated stream: drop them BEFORE the explode —
+    # when _start is an exact window multiple, c1 < c0 would make
+    # F.sequence run DESCENDING and emit spurious n_toks=0 manifest rows
+    pos = pos.filter(F.col("_toks") > 0)
     return pos.select(
         id_col, "_start", "_toks", F.explode(F.sequence(c0, c1)).alias("chunk_id")
     ).select(

@@ -536,6 +536,28 @@ def test_pack_sequences_validation(spark):
         pack_sequences(df, window=8, bucket_bits=40)
 
 
+def test_pack_sequences_zero_weight_spans_dropped(spark):
+    """A zero-valued weight_col row contributes nothing to the concatenated
+    stream: the manifest must not emit n_toks=0 rows for it (and must not
+    trip F.sequence's descending mode when its _start is an exact window
+    multiple), and all other rows must be identical to the same input with
+    the zero row absent."""
+    from linkgraph.text.pipeline import pack_sequences
+
+    with_zero = spark.createDataFrame(
+        [(1, 8), (2, 0), (3, 5)], "doc_id LONG, n LONG"
+    )
+    without = spark.createDataFrame([(1, 8), (3, 5)], "doc_id LONG, n LONG")
+    a = sorted(
+        map(tuple, pack_sequences(with_zero, window=8, weight_col="n").collect())
+    )
+    b = sorted(
+        map(tuple, pack_sequences(without, window=8, weight_col="n").collect())
+    )
+    assert a == b
+    assert all(r[-1] > 0 for r in a)  # no n_toks=0 manifest rows
+
+
 def test_pack_sequences_plan_no_corpus_scale_single_partition(spark):
     """The corpus-scale prefix-sum window must be PARTITIONED by the LCG
     bucket; the only SinglePartition exchange allowed is the tiny
