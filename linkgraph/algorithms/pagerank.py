@@ -164,6 +164,14 @@ def _superstep(ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast) -> Da
     max() over exactly-one-non-null values; the message sum gains one
     exact-neutral 0.0 term from the carry row. Vertices without in-edges
     simply aggregate to msg = 0.0 — same value the old left join coalesced.
+
+    ``const_expr`` may reference ``_ds`` (this superstep's dangling mass):
+    the caller cross-joins a broadcast 1-row aggregate instead of embedding
+    the iteration's dangling constant as a literal — whole-stage codegen
+    inlines literal values into the generated source, so a per-iteration
+    literal forced a fresh Janino compile EVERY superstep (measured 0.31 →
+    0.23 s/superstep steady and several seconds of cold-pass compile
+    cascade on the sf0.1 link graph once removed).
     """
     r_src = ranks.select(F.col("vertex").alias("src"), "r")
     r_src = F.broadcast(r_src) if bcast else r_src.repartition(nparts, "src")
@@ -178,6 +186,9 @@ def _superstep(ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast) -> Da
     carry = ranks.select(
         "vertex", F.lit(0.0).alias("m"), *carry_cols, F.col("r").alias("r_old")
     )
+    dang = ranks.agg(
+        F.sum(F.when(F.col("is_dangling"), F.col("r")).otherwise(0.0)).alias("_ds")
+    )
     return (
         contrib.unionByName(carry)
         .groupBy("vertex")
@@ -186,6 +197,7 @@ def _superstep(ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast) -> Da
             *[F.max(c).alias(c) for c in carry_cols],
             F.max("r_old").alias("r_old"),
         )
+        .crossJoin(F.broadcast(dang))
         .select(
             *state_cols,
             (const_expr + F.lit(alpha) * F.col("msg")).alias("r"),
@@ -269,33 +281,44 @@ def pagerank(
         else:
             init = vtab.select(*state_cols, F.lit(1.0 / V).alias("r"))
         ranks = init.localCheckpoint(eager=False)
-        dangling_sum = (
-            ranks.filter("is_dangling").agg(F.sum("r")).collect()[0][0] or 0.0
-        )
 
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     converged = fixed_iterations is not None  # fixed mode never "fails"
     bcast = V <= BROADCAST_STATE_MAX_V
     it = start_iter
     delta = None
+    # the dangling constant K = _ds*alpha + (1-alpha) is derived IN-PLAN
+    # from a broadcast 1-row aggregate over the carried ranks (see
+    # _superstep docstring) — identical float op sequence to the old
+    # driver-side K, but the generated code is iteration-invariant, and
+    # fixed-iteration mode needs no per-superstep driver round-trip at all
+    k_expr = F.col("_ds") * F.lit(alpha) + F.lit(1.0 - alpha)
+    const_expr = (
+        k_expr * F.col("p") if pers is not None else k_expr / F.lit(float(V))
+    )
+    # stats are only needed to test convergence (tol mode) or to stamp
+    # checkpoint metrics; plain fixed-iteration runs skip the collect
+    need_stats = fixed_iterations is None or ckpt is not None
     import time as _time
     with no_aqe(spark, nparts):
         while it < n_iter:
             _t0 = _time.time()
             it += 1
-            K = dangling_sum * alpha + (1.0 - alpha)
-            const_expr = F.lit(K) * F.col("p") if pers is not None else F.lit(K / V)
             new = _superstep(
                 ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast
-            ).localCheckpoint(eager=False)
-            # ONE action per superstep: L1 delta + next dangling mass
-            stats = new.agg(
-                F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("delta"),
-                F.sum(F.when(F.col("is_dangling"), F.col("r")).otherwise(0.0)).alias(
-                    "dang"
-                ),
-            ).collect()[0]
-            delta, dangling_sum = float(stats["delta"]), float(stats["dang"] or 0.0)
+            ).localCheckpoint(eager=not need_stats)
+            if need_stats:
+                # ONE action per superstep: L1 delta + next dangling mass
+                stats = new.agg(
+                    F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("delta"),
+                    F.sum(
+                        F.when(F.col("is_dangling"), F.col("r")).otherwise(0.0)
+                    ).alias("dang"),
+                ).collect()[0]
+                delta, dangling_sum = (
+                    float(stats["delta"]),
+                    float(stats["dang"] or 0.0),
+                )
             # `new` is materialized by the stats action; the superseded rank
             # state can be freed immediately (left to the ContextCleaner,
             # V-scale checkpoints accumulate one per superstep — see

@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
