@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner choose shuffled-hash over sort-merge when its
+        # build-side size conditions hold (guide §3.1/§9): skips the
+        # per-partition sorts on both join legs. The planner's own
+        # size gate (canBuildLocalHashMap) and AQE skew-splitting remain
+        # the scale guards. Measured at sf0.1: triangles 3.45 -> 2.92 s,
+        # doc_shingle_dups 1.88 -> 1.68 s, wcc/mis ~3-5% — no regressions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
