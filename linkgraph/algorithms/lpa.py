@@ -48,7 +48,14 @@ def label_propagation(
     edges = graph.edges.select("src", "dst")
     if graph.directed:
         edges = symmetrize_edges(edges, weight=None, symmetrize=True)
-    edges = edges.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # dst-partitioned in broadcast mode: both aggregation levels group on
+    # dst (hashpartitioning(dst) satisfies the (dst, labels) clustering),
+    # so the whole two-level argmax runs exchange-free off the broadcast
+    # label join — same trick as pagerank _prepare / wcc
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
+    edges = edges.repartition(
+        nparts, "dst" if bcast else "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
@@ -68,7 +75,6 @@ def label_propagation(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
     prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
@@ -76,44 +82,77 @@ def label_propagation(
         while it < n_iter:
             it += 1
             l_src = labels.select(F.col("vertex").alias("src"), "labels")
-            l_src = F.broadcast(l_src) if bcast else l_src.repartition(nparts, "src")
-            counts = (
-                edges.join(l_src, on="src")
-                .groupBy("dst", "labels")
-                .agg(F.count("*").alias("cnt"))
-            )
-            # argmax by count, tie -> min label: max(struct(cnt, -label)).
-            # The V-row carried labeling rides the SAME level-2 aggregation
-            # as a cnt=0 row (any real neighbor label has cnt >= 1 and
-            # beats it; with no neighbor messages the carry row IS the
-            # argmax) — replaces the old mode_l broadcast job + state
-            # join-back with one map-side-combined groupBy(vertex).
-            contrib = counts.select(
-                F.col("dst").alias("vertex"),
-                "cnt",
-                "labels",
-                F.lit(None).cast("long").alias("old"),
-            )
-            carry = labels.select(
-                "vertex",
-                F.lit(0).cast("long").alias("cnt"),
-                "labels",
-                F.col("labels").alias("old"),
-            )
-            new = (
-                contrib.unionByName(carry)
-                .groupBy("vertex")
-                .agg(
-                    F.max(F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))).alias("t"),
-                    F.max("old").alias("old"),
+            if bcast:
+                # broadcast labels into the dst-partitioned edge table:
+                # both argmax levels reuse the stored partitioning
+                # (exchange-free); the only exchange is the V-row labels
+                # side of the join-back
+                counts = (
+                    edges.join(F.broadcast(l_src), on="src")
+                    .groupBy("dst", "labels")
+                    .agg(F.count("*").alias("cnt"))
                 )
-                .select(
+                # argmax by count, tie -> min label: max(struct(cnt, -label))
+                mode_l = (
+                    counts.groupBy("dst")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))
+                        ).alias("t")
+                    )
+                    .select(F.col("dst").alias("vertex"), (-F.col("t.nl")).alias("new_l"))
+                )
+                new = (
+                    labels.join(mode_l, on="vertex", how="left")
+                    .select(
+                        "vertex",
+                        F.coalesce(F.col("new_l"), F.col("labels")).alias("labels"),
+                        (
+                            F.coalesce(F.col("new_l"), F.col("labels"))
+                            != F.col("labels")
+                        ).alias("changed"),
+                    )
+                    .localCheckpoint(eager=False)  # truncate superstep lineage
+                )
+            else:
+                # huge-V path: the carried labeling rides the level-2
+                # argmax as a cnt=0 row (any real neighbor label has
+                # cnt >= 1 and beats it; with no neighbor messages the
+                # carry row IS the argmax) — one fused map-side-combined
+                # groupBy(vertex), no state join-back
+                counts = (
+                    edges.join(l_src.repartition(nparts, "src"), on="src")
+                    .groupBy("dst", "labels")
+                    .agg(F.count("*").alias("cnt"))
+                )
+                contrib = counts.select(
+                    F.col("dst").alias("vertex"),
+                    "cnt",
+                    "labels",
+                    F.lit(None).cast("long").alias("old"),
+                )
+                carry = labels.select(
                     "vertex",
-                    (-F.col("t.nl")).alias("labels"),
-                    ((-F.col("t.nl")) != F.col("old")).alias("changed"),
+                    F.lit(0).cast("long").alias("cnt"),
+                    "labels",
+                    F.col("labels").alias("old"),
                 )
-                .localCheckpoint(eager=False)  # truncate superstep lineage
-            )
+                new = (
+                    contrib.unionByName(carry)
+                    .groupBy("vertex")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("cnt"), (-F.col("labels")).alias("nl"))
+                        ).alias("t"),
+                        F.max("old").alias("old"),
+                    )
+                    .select(
+                        "vertex",
+                        (-F.col("t.nl")).alias("labels"),
+                        ((-F.col("t.nl")) != F.col("old")).alias("changed"),
+                    )
+                    .localCheckpoint(eager=False)  # truncate superstep lineage
+                )
             n_changed = new.filter(F.col("changed")).count()
             release_plan(prev_ck)  # `new` materialized by the count
             prev_ck = new

@@ -77,7 +77,15 @@ def weakly_connected_components(
     edges = graph.edges.select("src", "dst")
     if graph.directed:
         edges = symmetrize_edges(edges, weight=None, symmetrize=True)
-    edges = edges.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # broadcast-state loops persist the edges DST-partitioned so the
+    # frontier join (broadcast) preserves it into groupBy(dst) and the
+    # message aggregation runs exchange-free (same trick as pagerank
+    # _prepare); the huge-V shuffle path keeps src-partitioning so the
+    # frontier repartition co-locates with the edges
+    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
+    edges = edges.repartition(
+        nparts, "dst" if bcast else "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
 
     verts = graph.vertices().repartition(nparts, "vertex").persist(
@@ -114,7 +122,6 @@ def weakly_connected_components(
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # frontier = vertices whose label changed last round (all, initially)
-    bcast = graph.number_of_vertices() <= BROADCAST_STATE_MAX_V
     frontier = labels
     prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
@@ -123,31 +130,55 @@ def weakly_connected_components(
         while it < n_iter:
             it += 1
             f_src = frontier.select(F.col("vertex").alias("src"), "labels")
-            f_src = F.broadcast(f_src) if bcast else f_src.repartition(nparts, "src")
-            # fused union-aggregate superstep: neighbor label messages and
-            # the V-row carried labeling ride ONE map-side-combined
-            # groupBy(vertex) min — no message broadcast job, no join-back
-            # (exact integer min; `old` travels as max over its single
-            # non-null carry value)
-            contrib = edges.join(f_src, on="src").select(
-                F.col("dst").alias("vertex"),
-                F.col("labels").alias("l"),
-                F.lit(None).cast("long").alias("old"),
-            )
-            carry = labels.select(
-                "vertex", F.col("labels").alias("l"), F.col("labels").alias("old")
-            )
-            new = (
-                contrib.unionByName(carry)
-                .groupBy("vertex")
-                .agg(F.min("l").alias("labels"), F.max("old").alias("old"))
-                .select(
-                    "vertex",
-                    "labels",
-                    (F.col("labels") < F.col("old")).alias("changed"),
+            if bcast:
+                # broadcast frontier into the dst-partitioned edge table:
+                # the min-label message aggregation reuses the stored
+                # partitioning and runs WITHOUT an exchange; the only
+                # exchange is the V-row labels side of the join-back
+                msgs = (
+                    edges.join(F.broadcast(f_src), on="src")
+                    .groupBy("dst")
+                    .agg(F.min("labels").alias("m"))
+                    .withColumnRenamed("dst", "vertex")
                 )
-                .localCheckpoint(eager=False)  # truncate superstep lineage
-            )
+                new = (
+                    labels.join(msgs, on="vertex", how="left")
+                    .select(
+                        "vertex",
+                        F.least(
+                            F.col("labels"),
+                            F.coalesce(F.col("m"), F.col("labels")),
+                        ).alias("labels"),
+                        (F.col("m") < F.col("labels")).alias("changed"),
+                    )
+                    .localCheckpoint(eager=False)  # truncate superstep lineage
+                )
+            else:
+                # huge-V path: fused union-aggregate — messages and the
+                # V-row carried labeling ride ONE map-side-combined
+                # groupBy(vertex) min (exact integer min; `old` travels as
+                # max over its single non-null carry value)
+                contrib = edges.join(
+                    f_src.repartition(nparts, "src"), on="src"
+                ).select(
+                    F.col("dst").alias("vertex"),
+                    F.col("labels").alias("l"),
+                    F.lit(None).cast("long").alias("old"),
+                )
+                carry = labels.select(
+                    "vertex", F.col("labels").alias("l"), F.col("labels").alias("old")
+                )
+                new = (
+                    contrib.unionByName(carry)
+                    .groupBy("vertex")
+                    .agg(F.min("l").alias("labels"), F.max("old").alias("old"))
+                    .select(
+                        "vertex",
+                        "labels",
+                        (F.col("labels") < F.col("old")).alias("changed"),
+                    )
+                    .localCheckpoint(eager=False)  # truncate superstep lineage
+                )
             n_changed = new.filter(F.col("changed")).count()
             release_plan(prev_ck)  # `new` materialized by the count
             prev_ck = new
