@@ -330,15 +330,24 @@ def pagerank(
     # stats are only needed to test convergence (tol mode) or to stamp
     # checkpoint metrics; plain fixed-iteration runs skip the collect
     need_stats = fixed_iterations is None or ckpt is not None
+    # plain fixed-iteration runs chain supersteps LAZILY and materialize
+    # every few iterations (ppr-style): with no per-superstep driver
+    # action left, the per-iteration eager materialization was the only
+    # remaining job — bursts cut the job count further. When the caller
+    # asks for per-iteration timings (the bench's steady-state metric),
+    # every superstep materializes eagerly so the timings stay honest.
+    trunc_every = 1 if iteration_timings is not None else 4
+    pending: list = []  # lazy frames since the last materialized state
     import time as _time
     with no_aqe(spark, nparts):
         while it < n_iter:
             _t0 = _time.time()
             it += 1
-            new = _superstep(
+            stepped = _superstep(
                 ecoef, ranks, state_cols, alpha, const_expr, nparts, bcast
-            ).localCheckpoint(eager=not need_stats)
+            )
             if need_stats:
+                new = stepped.localCheckpoint(eager=False)
                 # ONE action per superstep: L1 delta + next dangling mass
                 stats = new.agg(
                     F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("delta"),
@@ -350,12 +359,25 @@ def pagerank(
                     float(stats["delta"]),
                     float(stats["dang"] or 0.0),
                 )
-            # `new` is materialized by the stats action; the superseded rank
-            # state can be freed immediately (left to the ContextCleaner,
-            # V-scale checkpoints accumulate one per superstep — see
-            # plans.release_plan). The checkpoint-resume path is safe: saved
-            # snapshots re-read from parquet, independent of this storage.
-            release_plan(ranks)
+                # `new` is materialized by the stats action; the superseded
+                # rank state can be freed immediately (see plans.release_plan)
+                release_plan(ranks)
+            else:
+                eager = (it % trunc_every == 0) or (it == n_iter)
+                new = stepped.localCheckpoint(eager=eager)
+                # every frame in `pending` (including the current `ranks`)
+                # is superseded once `new` materializes — the burst
+                # materializes the whole pending lazy chain as part of its
+                # lineage, so all of them can be freed together then
+                pending.append(ranks)
+                if eager:
+                    for f in pending:
+                        release_plan(f)
+                    pending.clear()
+                ranks = new
+                if iteration_timings is not None:
+                    iteration_timings.append(_time.time() - _t0)
+                continue
             ranks = new
             if iteration_timings is not None:
                 iteration_timings.append(_time.time() - _t0)
