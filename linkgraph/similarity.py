@@ -544,11 +544,22 @@ PQ_MAX_QUERY_BATCH = 4096
 
 
 def _round_half_away(x: float) -> int:
-    """Spark's ROUND (HALF_UP) == DuckDB's round(): half away from zero.
-    Python's built-in round is banker's rounding — never use it here."""
+    """Spark's ROUND (HALF_UP) == DuckDB's round() == C std::round: half
+    away from zero ON THE DOUBLE VALUE. Python's built-in round is
+    banker's rounding — never use it here. The classic floor(x+0.5)
+    shortcut is also wrong on one boundary class: for the largest double
+    BELOW k-0.5 (e.g. 0.49999999999999994), x+0.5 rounds UP to k in IEEE
+    arithmetic, yielding k where std::round (and DuckDB, and Spark) yield
+    k-1 — exactly the kind of one-ulp dialect divergence the PQ/k-means
+    oracle contract must exclude, so correct it explicitly."""
     import math
+    from fractions import Fraction
 
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    # exact binary rational of the double — float add/subtract of 0.5
+    # re-rounds and silently erases the very boundary being handled
+    f = Fraction(x)
+    half = Fraction(1, 2)
+    return int(math.floor(f + half)) if x >= 0 else int(math.ceil(f - half))
 
 
 def _unit_quantized(vec: list, scale: int) -> list[int]:

@@ -187,3 +187,29 @@ def test_pq_adc_rerank_validation(spark, emb):
     df, _ = emb
     with pytest.raises(ValueError, match="rerank"):
         pq_adc_topk(df, df.limit(1), m=2, k=4, topk=5, rerank=2)
+
+
+def test_round_half_away_matches_duckdb_on_boundary_doubles():
+    """The centroid-update rounding must equal DuckDB's round() ON THE
+    DOUBLE VALUE, including the boundary class where floor(x+0.5) rounds
+    up in IEEE arithmetic while std::round does not (e.g. the largest
+    double below 0.5) — the dialect-divergence class VERDICT r5 flagged
+    for the PQ chain."""
+    import duckdb
+
+    cases = [
+        (1, 2), (-1, 2), (3, 2), (5, 2), (-5, 2), (7, 3), (-7, 3),
+        (2000000000000001, 2), (9007199254740991, 2),
+    ]
+    for s, n in cases:
+        dd = duckdb.sql(
+            f"select cast(round(cast({s} as bigint) / cast({n} as bigint))"
+            " as bigint)"
+        ).fetchone()[0]
+        assert _round_half_away(s / n) == dd, (s, n)
+    # the floor(x+0.5) footgun value itself
+    x = 0.49999999999999994  # largest double < 0.5; x + 0.5 == 1.0 in IEEE
+    assert _round_half_away(x) == 0
+    assert _round_half_away(-x) == 0
+    assert _round_half_away(0.5) == 1
+    assert _round_half_away(-0.5) == -1
