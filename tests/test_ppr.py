@@ -54,6 +54,19 @@ def test_matches_dense_oracle(spark):
                 assert got[(seed, v)] == pytest.approx(want[v], abs=1e-12)
 
 
+def test_dangling_seed_keeps_unit_mass(spark):
+    """A seed with no out-edges propagates nothing: its vector must stay
+    exactly {seed: 1.0} every iteration. Pins the fused superstep's
+    no-messages case — the restart row comes only from the constant +1
+    seed row (no mirror rows exist), replacing the old coalesce(m, 0)
+    left-join path."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    g = Graph.from_edgelist(df, directed=True, renumber=False)
+    rows = batched_personalized_pagerank(g, [2], alpha=ALPHA, iterations=5).collect()
+    assert len(rows) == 1
+    assert (rows[0].seed, rows[0].vertex, rows[0].ppr) == (2, 2, 1.0)
+
+
 def test_mass_conservation(spark):
     g = _graph(spark)
     res = batched_personalized_pagerank(g, [0, 1, 2, 3], iterations=7).collect()
