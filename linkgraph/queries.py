@@ -67,7 +67,25 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT _spread: measured A/B (scripts/spread_ab_probe.py)
+    # shows the extra full-text exchange costs more than the 1-split
+    # scan's serial map work saves on every doc query at bench scale
+    # (e.g. doc_gopher 0.5 -> 1.1 s, doc_dsir 2.3 -> 3.4 s warm)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Unlock map-side parallelism behind tiny scans (guide §2.2/§6.2).
+
+    Bench-scale parquet inputs are single-row-group files, so the scan
+    yields 1-3 splits and every downstream NARROW stage (tokenization,
+    shingle explodes, per-pair dot products) runs on 1-3 cores while the
+    rest idle. Repartition to the session's core count ONLY when the scan
+    has fewer splits than cores — the branch is decided at plan-build
+    time, so on a real corpus (splits >= cores) NO exchange appears in
+    the plan and nothing is ever shuffled at scale."""
+    t = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(t) if df.rdd.getNumPartitions() < t else df
 
 
 def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +272,12 @@ def q_doc_shingle_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_emb_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # base side spread across cores: the per-pair integer dot is the
+    # compute and the scan is a single split at bench scale (_spread is a
+    # plan-time no-op on real inputs); row_number orders by (dot desc,
+    # neighbor asc) and the dot is integer-exact, so partitioning cannot
+    # change the result
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
