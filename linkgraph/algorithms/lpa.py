@@ -78,6 +78,12 @@ def label_propagation(
     prev_ck = None  # superseded superstep checkpoint, freed once replaced
     it = start_iter
     n_iter = fixed_iterations if fixed_iterations is not None else max_iter
+    # the changed-count is only consumed by the convergence test (tol
+    # mode) and checkpoint metrics — plain fixed-iteration runs skip the
+    # per-superstep count action and chain supersteps lazily in bursts
+    # of 4 (the pagerank fixed-mode treatment)
+    need_stats = fixed_iterations is None or ckpt is not None
+    pending: list = []  # lazy frames since the last materialized state
     with no_aqe(spark, nparts):
         while it < n_iter:
             it += 1
@@ -153,14 +159,27 @@ def label_propagation(
                     )
                     .localCheckpoint(eager=False)  # truncate superstep lineage
                 )
-            n_changed = new.filter(F.col("changed")).count()
-            release_plan(prev_ck)  # `new` materialized by the count
-            prev_ck = new
-            labels = new.select("vertex", "labels")
-            if ckpt is not None and it % checkpoint_every == 0:
-                labels = ckpt.save(labels, it, {"changed": n_changed})
-            if fixed_iterations is None and n_changed == 0:
-                break
+            if need_stats:
+                n_changed = new.filter(F.col("changed")).count()
+                release_plan(prev_ck)  # `new` materialized by the count
+                prev_ck = new
+                labels = new.select("vertex", "labels")
+                if ckpt is not None and it % checkpoint_every == 0:
+                    labels = ckpt.save(labels, it, {"changed": n_changed})
+                if fixed_iterations is None and n_changed == 0:
+                    break
+            else:
+                # note: `new` above was built with eager=False either way;
+                # re-checkpoint eagerly at burst boundaries to materialize
+                # and truncate the pending chain
+                if it % 4 == 0 or it == n_iter:
+                    new = new.localCheckpoint(eager=True)
+                    for f in pending:
+                        release_plan(f)
+                    pending.clear()
+                else:
+                    pending.append(new)
+                labels = new.select("vertex", "labels")
     out = labels.select("vertex", "labels")
     if graph.renumbered:
         out = graph.unrenumber(out, "vertex")

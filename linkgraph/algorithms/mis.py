@@ -99,21 +99,19 @@ def maximal_independent_set(
                 .select("vertex")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            n_win = winners.count()  # the one scalar action per round
-            if n_win == 0:
-                # active non-empty but no winner is impossible under Luby
-                # (the global-min key always wins); loop ends via empties.
-                break
+            # no winners.count() action: active non-empty always yields a
+            # winner under Luby (the global-min key wins unconditionally),
+            # and the empty-actives case breaks at new_verts.count() below
+            # — the one scalar action per round. The persist materializes
+            # with that same action.
             mis_parts.append(winners)
 
-            # removed = winners ∪ N(winners); shrink actives and edges
-            nbrs = (
-                edges.join(
-                    winners.select(F.col("vertex").alias("src")), on="src", how="leftsemi"
-                )
-                .select(F.col("dst").alias("vertex"))
-                .distinct()
-            )
+            # removed = winners ∪ N(winners); ONE distinct on the union
+            # (an inner distinct on nbrs would be subsumed by it — same
+            # set, one aggregation instead of two)
+            nbrs = edges.join(
+                winners.select(F.col("vertex").alias("src")), on="src", how="leftsemi"
+            ).select(F.col("dst").alias("vertex"))
             removed = winners.select("vertex").union(nbrs).distinct()
             new_verts = (
                 verts.join(removed, on="vertex", how="left_anti")
