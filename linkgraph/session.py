@@ -60,6 +60,19 @@ def get_spark(
         # doc_shingle_dups 1.88 -> 1.68 s, wcc/mis ~3-5% — no regressions.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    # Preload numpy/pandas/the engine's UDF modules in the Python worker
+    # DAEMON so every forked worker inherits them copy-on-write instead of
+    # re-importing (~0.5 s x one per core on the first Python stage of a
+    # fresh session — guide §4.5 applied to the interpreter itself). Only
+    # wired up when the package is importable from the daemon's launch
+    # environment (cwd or PYTHONPATH): `python -m linkgraph.pydaemon` must
+    # resolve or Spark could not start ANY Python worker.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    daemon_visible = pkg_parent == os.getcwd() or pkg_parent in os.environ.get(
+        "PYTHONPATH", ""
+    ).split(os.pathsep)
+    if daemon_visible:
+        b = b.config("spark.python.daemon.module", "linkgraph.pydaemon")
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
         b = b.config("spark.driver.extraJavaOptions", java_opts)
