@@ -5862,21 +5862,31 @@ DRIVER_WINDOW = [
     # pinned: structure rows + the four [core] algorithms
     "graph_edges_sym", "graph_degrees", "graph_renumber_map", "graph_two_hop",
     "pagerank", "wcc", "lpa", "triangles",
-    # never driver-attested: round-3 additions registered past the window
-    "incr_wcc", "doc_pii_redact", "doc_decontaminate_bloom",
-    "doc_sample_strata", "doc_shards", "ppr", "doc_span_dedup",
-    "emb_kmeans", "emb_semdedup", "emb_proto", "trustrank",
-    # round-4 additions (incl. the SURVEY §2 stragglers the judge named)
-    "edge_betweenness", "hungarian", "force_atlas2", "multi_source_bfs",
-    "doc_url_dedup", "clustering_coeff", "harmonic", "linkpred_extra",
-    "doc_dsir", "doc_line_dedup", "doc_bm25", "mis", "doc_simhash_dups",
-    "densest", "local_cluster", "doc_ccnet", "eigenvector", "cocitation",
-    "anchor_terms", "bowtie", "doc_ngram_lm", "crawl_delta", "butterflies",
-    "coloring", "doc_mix_sample", "doc_quality_classifier", "emb_pq_topk",
-    "emb_pq_recall", "lang_shingle_fm",
-    # round-5 additions
+    # PQ pair stays until emb_pq_topk (round-5 red, engine-side rounding
+    # hardened round 6) has a driver-green row
+    "emb_pq_topk", "emb_pq_recall",
+    # never driver-attested: the 7 gated siblings + round-5 late additions
+    "doc_decontaminate", "closeness", "doc_c4_filter", "graph_stats",
+    "degree_hist", "walk_pairs", "four_cliques",
+    "doc_pack", "walk_negatives", "bpe_merges", "doc_bpe_tokens",
+    # round-5 streaming rows (re-attest the stateful machinery)
     "stream_dedup", "store_time_travel",
+    # round-robin refresh: oldest driver evidence first (last green in the
+    # round-4 artifact, registry order) — see the rotation rule below
+    "doc_token_count", "doc_dedup_exact", "doc_langid", "doc_quality",
+    "doc_fingerprint", "doc_shingle_dups", "emb_topk", "events_hourly",
+    "jaccard", "bfs", "katz", "hits", "salsa", "anf", "ego_graph",
+    "hypergraph_edges", "core_number", "doc_minhash_dedup", "emb_lsh_topk",
+    "k_core", "node2vec", "ktruss", "random_walks", "media_image_stats",
+    "clustering_metrics", "louvain", "sssp",
 ]
+# Standing rotation policy (VERDICT r5 item 2): every round the window is
+#   8 pinned rows + any query without a driver-green row in ANY round's
+#   CORRECTNESS artifact (red or never-run) + the remaining slots filled
+#   round-robin with the queries whose newest driver-green row is OLDEST
+#   (ties broken by registry order) — so every query re-attests roughly
+#   every other round while the [core] surface re-attests every round.
+# The in-repo two-scale mini-driver gate still covers all 103 every round.
 
 
 def _reorder_registry() -> None:

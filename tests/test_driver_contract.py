@@ -106,14 +106,39 @@ def test_entry_smoke(spark):
 
 def test_driver_window_carries_unattested_queries():
     """The driver's correctness artifact snapshots the first 50 registered
-    queries: the window must pin the structure + [core] rows and carry the
-    round-3/4/5 additions that have never had a driver-green row."""
+    queries. Standing rotation rule (VERDICT r5 item 2), pinned here:
+    the window = 8 pinned structure/[core] rows + EVERY query without a
+    driver-green row in any committed CORRECTNESS_r0x.json (red or
+    never-run) + round-robin refresh slots for the queries whose newest
+    driver-green row is oldest — so each query re-attests roughly every
+    other round."""
+    import glob
+    import json
+
     from linkgraph.queries import DRIVER_WINDOW, ORACLES, QUERIES
 
     names = list(QUERIES)
     assert names[:50] == DRIVER_WINDOW
     assert list(ORACLES)[:50] == [n for n in DRIVER_WINDOW if n in ORACLES]
-    for pinned in ("pagerank", "wcc", "lpa", "triangles", "graph_edges_sym"):
+    for pinned in (
+        "graph_edges_sym", "graph_degrees", "graph_renumber_map",
+        "graph_two_hop", "pagerank", "wcc", "lpa", "triangles",
+    ):
         assert pinned in DRIVER_WINDOW
-    for r5 in ("stream_dedup", "store_time_travel", "emb_pq_recall"):
-        assert r5 in DRIVER_WINDOW
+
+    # every query with NO driver-green row in any committed artifact must
+    # be in the window (that is the only way it can ever earn one)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            ):
+                green.add(name)
+    never_green = [n for n in names if n not in green]
+    missing = [n for n in never_green if n not in DRIVER_WINDOW]
+    assert not missing, f"never-driver-green queries outside the window: {missing}"
