@@ -5280,6 +5280,17 @@ def q_emb_pq_recall(spark, sf_dir):
         "cast(0 as bigint), (acc, v) -> acc + v)"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    # BOUNDED quadratic surface: this cross join is the ORACLE-SUPPORT leg
+    # of the recall measurement (ground truth = exact top-k per query), so
+    # it is Q x B rows by definition — Q is gated here, and B is the
+    # driver-scale embeddings table (<= a few thousand rows). Production
+    # ANN paths are the bucketed LSH/IVF/PQ tiers, never this join.
+    n_q = qs.count()
+    if n_q > 512:
+        raise ValueError(
+            f"emb_pq_recall exact side is gated to <= 512 queries (got {n_q}): "
+            "the ground-truth cross join is quadratic by design"
+        )
     exact = (
         qe.join(b, F.lit(True))
         .select("query_id", "neighbor_id", dot.alias("dot_q"))

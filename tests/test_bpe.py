@@ -98,3 +98,32 @@ def test_bpe_validation(spark):
         bpe_train(df, 2, min_pair_count=0)
     with pytest.raises(ValueError):
         bpe_train(df, 2, apply_passes=0)
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """batch_merges > 1 must reproduce the sequential merge list and final
+    segmentation EXACTLY (the batch rule only admits a prefix it can prove
+    replays the argmax order — see _exact_batch). Covers the classic
+    corpus, tie-heavy/overlapping chains, and the shared-symbol /
+    merged-symbol-collision cases the proof gates on."""
+    corpora = [
+        ["low low low low low", "lower lower", "newest " * 6, "widest " * 3],
+        # back-to-back chains, ties, a pre-existing 'ab' symbol colliding
+        # with the (a, b) concatenation, and single-symbol words
+        ["a b a b a b a b", "b a b a", "x y x y", "ab z ab z",
+         "q a b w", "z a b", "aa aa aa", "a a a a a"],
+    ]
+    for texts in corpora:
+        _, m_seq, v_seq = _train(spark, texts, 12)
+        want = [tuple(r) for r in m_seq.orderBy("rank").collect()]
+        want_v = {r["word"]: r["s"] for r in v_seq.collect()}
+        for b in (3, 8):
+            _, m_b, v_b = _train(spark, texts, 12, batch_merges=b)
+            assert [tuple(r) for r in m_b.orderBy("rank").collect()] == want
+            assert {r["word"]: r["s"] for r in v_b.collect()} == want_v
+
+
+def test_bpe_batched_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe_train(df, 1, batch_merges=0)
